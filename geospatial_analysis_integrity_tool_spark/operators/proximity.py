@@ -1,0 +1,157 @@
+"""k-ring proximity / distance join (GAIT's PTPTPROX / PLPROX / undershoot family).
+
+GAIT finds near pairs by scanning each region plus its neighbors
+(PerformLinearOverUnderChecks geomchecks.c:5266; neighbor loads TT.c:44027).
+The Spark-native shape is a **k-ring cell join**:
+
+1. choose a cell width >= tolerance (so any qualifying pair is in the same or
+   an adjacent cell),
+2. duplicate the *right* side into its 3x3 cell neighborhood (k-ring, k=1) —
+   cheap explode of 9 literals,
+3. equi-join on cell, dedupe the pair with ``a.id < b.id`` (GAIT's pair memo
+   CheckThisLinePair geomchecks.c:10703 done declaratively),
+4. refine with the exact distance expression — evaluated **JVM-side** from the
+   same SQL text the DuckDB oracle runs, so both engines compare bit-identical
+   doubles against the tolerance.
+
+No UDF in this operator at all: whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geodesy import sql_dist_m, sql_point_seg_dist_m
+from .pip import cell_id, explode_bbox_cells
+
+
+def _with_cell(df: DataFrame, lon: str, lat: str, cell_deg: float) -> DataFrame:
+    ix = F.floor(F.col(lon) / F.lit(cell_deg))
+    iy = F.floor(F.col(lat) / F.lit(cell_deg))
+    return df.withColumn("cell", cell_id(ix, iy))
+
+
+def _with_kring_cells(df: DataFrame, lon: str, lat: str, cell_deg: float) -> DataFrame:
+    ix = F.floor(F.col(lon) / F.lit(cell_deg))
+    iy = F.floor(F.col(lat) / F.lit(cell_deg))
+    one_ring = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    df = df.withColumn("_dx", F.explode(one_ring)).withColumn(
+        "_dy", F.explode(one_ring)
+    )
+    return df.withColumn(
+        "cell", cell_id(ix + F.col("_dx"), iy + F.col("_dy"))
+    ).drop("_dx", "_dy")
+
+
+def point_proximity_pairs(
+    points: DataFrame,
+    id_col: str = "site_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    tol_m: float = 50000.0,
+    cell_deg: float | None = None,
+    max_abs_lat_deg: float = 66.0,
+) -> DataFrame:
+    """Self-join: unordered point pairs with 0 < dist < tol_m (PTPTPROX 95).
+
+    Returns (id_a, id_b, dist_mm) with id_a < id_b and dist_mm = floor(m*1000).
+
+    Cell sizing: a pair within tol_m spans at most tol_m / (111319.5 *
+    cos(max_abs_lat)) degrees of LONGITUDE, which exceeds the latitude span —
+    the k=1 ring only guarantees capture if the cell is at least that wide, so
+    the width is derived from the worst-case latitude of the dataset (pass the
+    true data bound for tighter cells; at scale this comes from the cell
+    histogram stats).
+    """
+    import math
+
+    if cell_deg is None:
+        worst_mlon = 111319.5 * math.cos(math.radians(max_abs_lat_deg))
+        cell_deg = max(tol_m / worst_mlon * 1.001, 1e-6)
+    left = _with_cell(points, lon, lat, cell_deg).select(
+        F.col(id_col).alias("id_a"),
+        F.col(lon).alias("_xa"),
+        F.col(lat).alias("_ya"),
+        "cell",
+    )
+    right = _with_kring_cells(points, lon, lat, cell_deg).select(
+        F.col(id_col).alias("id_b"),
+        F.col(lon).alias("_xb"),
+        F.col(lat).alias("_yb"),
+        "cell",
+    )
+    pairs = left.join(right, "cell").filter(F.col("id_a") < F.col("id_b"))
+    dist = F.expr(sql_dist_m("_xa", "_ya", "_xb", "_yb"))
+    out = (
+        pairs.withColumn("_d", dist)
+        .filter((F.col("_d") > 0) & (F.col("_d") < F.lit(tol_m)))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST(floor(_d * 1000.0) AS BIGINT)").alias("dist_mm"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return out
+
+
+def point_to_segment_proximity(
+    points: DataFrame,
+    segments: DataFrame,
+    tol_m: float,
+    point_id: str = "src_id",
+    px: str = "px",
+    py: str = "py",
+    seg_id: str = "tgt_id",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    cell_deg: float = 0.01,
+    open_interval: bool = True,
+) -> DataFrame:
+    """End-node -> segment distance join: GAIT's undershoot template
+    (LUNDERSHTL, OPENINT 0 < d < tol on end-node-to-line distance,
+    geomchecks.c:6432-6753).
+
+    points:   (point_id, px, py)  — e.g. dangling line end nodes
+    segments: (seg_id, ax, ay, bx, by)
+    Returns (point_id, seg_id, dist_mm) for pairs with 0 < d < tol_m
+    (closed lower bound if open_interval=False), point's own feature excluded
+    by the caller via ids.
+
+    Build side = segments duplicated into bbox-covered cells; probe side =
+    points duplicated into their 3x3 k-ring, so any pair within one cell width
+    is guaranteed to co-locate.  Requires cell_deg >= tol_m in degrees.
+    """
+    segs = segments.select(
+        F.col(seg_id),
+        F.col(ax).alias("_sax"),
+        F.col(ay).alias("_say"),
+        F.col(bx).alias("_sbx"),
+        F.col(by).alias("_sby"),
+        F.least(F.col(ax), F.col(bx)).alias("_minx"),
+        F.greatest(F.col(ax), F.col(bx)).alias("_maxx"),
+        F.least(F.col(ay), F.col(by)).alias("_miny"),
+        F.greatest(F.col(ay), F.col(by)).alias("_maxy"),
+    )
+    segs_cells = explode_bbox_cells(segs, "_minx", "_maxx", "_miny", "_maxy", cell_deg)
+
+    pts = points.select(F.col(point_id), F.col(px).alias("_px"), F.col(py).alias("_py"))
+    pts_cells = _with_kring_cells(pts, "_px", "_py", cell_deg)
+
+    pairs = pts_cells.join(segs_cells, "cell")
+    d = F.expr(sql_point_seg_dist_m("_px", "_py", "_sax", "_say", "_sbx", "_sby"))
+    lower = (d > F.lit(0.0)) if open_interval else (d >= F.lit(0.0))
+    out = (
+        pairs.withColumn("_d", d)
+        .filter(lower & (F.col("_d") < F.lit(tol_m)))
+        .select(
+            F.col(point_id),
+            F.col(seg_id),
+            F.expr("CAST(floor(_d * 1000.0) AS BIGINT)").alias("dist_mm"),
+        )
+        .dropDuplicates([point_id, seg_id])
+    )
+    return out

@@ -1,0 +1,16 @@
+"""Query registry: each submodule exports QUERIES (name -> callable(spark, sf_dir)
+-> DataFrame) and ORACLES (name -> DuckDB SQL text).  __spark_entry__.py at the
+repo root aggregates them for the driver's correctness gate."""
+
+from __future__ import annotations
+
+
+def all_queries():
+    from . import embeddings, geometry, relational, textops
+
+    q: dict = {}
+    o: dict = {}
+    for mod in (relational, geometry, textops, embeddings):
+        q.update(mod.QUERIES)
+        o.update(mod.ORACLES)
+    return q, o

@@ -1,0 +1,97 @@
+"""Embedding similarity queries over the `embeddings` table.
+
+The raw table is 64-dim random float32 vectors (max off-diagonal cosine ~0.51),
+so near-duplicates are planted deterministically in both engines: every 5th
+vector gets a copy with its first component zeroed (cosine to the original
+~0.99 for typical vectors).  Thresholds sit in the empty margin (0.51, 0.95)
+so float-accumulation-order differences between numpy BLAS and DuckDB can
+never flip a decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ann import cosine_topk, near_dup_pairs
+from ..sources.synthetic import register_testdata_views
+
+TOPK_K = 5
+TOPK_N_QUERIES = 10
+NEAR_DUP_THRESHOLD = 0.9
+
+_EMB_AUG_SPARK = (
+    "concat(array(CAST(0.0 AS FLOAT)), slice(embedding, 2, 1000000))"
+)
+
+_EMB_AUG_DUCK = """
+emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_concat([CAST(0.0 AS FLOAT)], embedding[2:])
+  FROM embeddings WHERE vec_id % 5 = 0
+)
+"""
+
+
+def _emb_aug(spark: SparkSession) -> DataFrame:
+    e = spark.table("embeddings").select("vec_id", "embedding")
+    pert = (
+        e.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+            F.expr(_EMB_AUG_SPARK).alias("embedding"),
+        )
+    )
+    return e.unionByName(pert)
+
+
+# --- ann_cosine_topk: brute-force top-k neighbors -----------------------------
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    return cosine_topk(emb, queries, k=TOPK_K)
+
+
+ORACLE_ANN_TOPK = f"""
+WITH cand AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cos
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {TOPK_N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
+# --- embedding_near_dup: cosine >= 0.9 pairs on the augmented corpus ----------
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    return near_dup_pairs(_emb_aug(spark), threshold=NEAR_DUP_THRESHOLD)
+
+
+ORACLE_NEAR_DUP = f"""
+WITH {_EMB_AUG_DUCK.strip()}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM emb_aug a JOIN emb_aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ORACLE_ANN_TOPK,
+    "embedding_near_dup": ORACLE_NEAR_DUP,
+}

@@ -1,0 +1,305 @@
+"""Training-data text pipeline operators over the `documents` table.
+
+Deduplication (exact, n-gram Jaccard, MinHash-LSH), quality scoring, language
+ID, token profiling, document fingerprinting — the web-corpus counterparts of
+the engine's integrity checks, graded as first-class components.
+
+The raw `documents` table has no planted duplicates, so an augmented corpus
+``docs_aug`` is derived identically in both engines:
+
+* every document verbatim,
+* a near-duplicate of every document (first token dropped, doc_id + 1000000),
+* an exact duplicate of every 7th document (doc_id + 2000000).
+
+Token ops are exact string/integer computations, so the Spark and DuckDB
+formulations are written idiomatically per engine (no shared-text requirement;
+results are discrete).  All counts are cast to BIGINT on both sides (Spark
+``size`` yields INT, DuckDB ``len`` yields BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.synthetic import register_testdata_views
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "et", "les"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "y", "los"),
+}
+JACCARD_MIN_MILLIS = 500
+
+
+def _docs_aug(spark: SparkSession) -> DataFrame:
+    d = spark.table("documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.expr("concat_ws(' ', slice(split(text, '\\\\s+'), 2, 1000000))").alias("text"),
+    )
+    copies = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"), "text"
+    )
+    return d.unionByName(pert).unionByName(copies)
+
+
+_DOCS_AUG_SQL = """
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string((regexp_split_to_array(text, '\\s+'))[2:], ' ')
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+# Spark-side shingle expression: 3-gram token shingles (1-based element_at)
+_SHINGLES_SPARK = (
+    "CASE WHEN size(split(text, '\\\\s+')) >= 3 THEN "
+    "transform(sequence(1, size(split(text, '\\\\s+')) - 2), "
+    "i -> concat(element_at(split(text, '\\\\s+'), i), ' ', "
+    "element_at(split(text, '\\\\s+'), i + 1), ' ', "
+    "element_at(split(text, '\\\\s+'), i + 2))) "
+    "ELSE array() END"
+)
+
+# DuckDB-side: same semantics, 1-based list indexing
+_SHINGLES_DUCK = """
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM docs_aug),
+       LATERAL (SELECT unnest(CASE WHEN len(t) >= 3
+                                   THEN range(1, len(t) - 1)
+                                   ELSE [] END) AS i)
+"""
+
+
+# --- dedup_exact (exact hash-groupBy; C_DUPS analogue for documents) ----------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    return (
+        _docs_aug(spark)
+        .select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH {_DOCS_AUG_SQL.strip()}
+SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS first_doc_id
+FROM docs_aug
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+# --- dedup_ngram_jaccard (3-gram shingle Jaccard >= 0.5) ----------------------
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    aug = _docs_aug(spark)
+    sh = (
+        aug.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard_millis",
+            F.expr(
+                "CAST(floor(CAST(n_common AS DOUBLE) * 1000.0 /"
+                " CAST(n_a + n_b - n_common AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("jaccard_millis") >= JACCARD_MIN_MILLIS)
+        .select("doc_a", "doc_b", "jaccard_millis")
+    )
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {_DOCS_AUG_SQL.strip()},
+shingles AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_DUCK})),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(CAST(n_common AS DOUBLE) * 1000.0 /
+            CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)) AS BIGINT) AS jaccard_millis
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(floor(CAST(n_common AS DOUBLE) * 1000.0 /
+      CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)) AS BIGINT) >= {JACCARD_MIN_MILLIS}
+"""
+
+
+# --- dedup_minhash_lsh (banded min-hash candidate pairs) ----------------------
+N_BANDS = 4
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    aug = _docs_aug(spark)
+    sh = aug.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")).distinct()
+    banded = sh.withColumn(
+        "band", F.explode(F.array(*[F.lit(i) for i in range(N_BANDS)]))
+    ).withColumn(
+        "h", F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
+    )
+    sig = banded.groupBy("doc_id", "band").agg(F.min("h").alias("minhash"))
+    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "minhash")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "minhash")
+    return (
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH {_DOCS_AUG_SQL.strip()},
+shingles AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_DUCK})),
+sig AS (
+  SELECT doc_id, band, MIN(md5(CAST(band AS STRING) || '|' || shingle)) AS minhash
+  FROM shingles, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band)
+  GROUP BY 1, 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM sig a JOIN sig b
+  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --- text_quality: token/stopword profile -------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    stop_pred = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    return spark.table("documents").select(
+        "doc_id",
+        F.expr("CAST(length(text) AS BIGINT)").alias("text_len"),
+        F.expr("CAST(size(split(text, '\\\\s+')) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, '\\\\s+'))) AS BIGINT)"
+        ).alias("n_types"),
+        F.expr(
+            f"CAST(size(filter(split(text, '\\\\s+'), x -> {stop_pred})) AS BIGINT)"
+        ).alias("n_stopwords"),
+    )
+
+
+_DUCK_STOP_PRED = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_types,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+            x -> {_DUCK_STOP_PRED})) AS BIGINT) AS n_stopwords
+FROM documents
+"""
+
+
+# --- lang_id: marker-token language guess -------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        pred = " OR ".join(f"x = '{w}'" for w in markers)
+        scores[lang] = f"size(filter(split(text, '\\\\s+'), x -> {pred}))"
+    pick = (
+        f"CASE WHEN {scores['en']} >= {scores['fr']} AND {scores['en']} >= {scores['de']}"
+        f" AND {scores['en']} >= {scores['es']} THEN 'en'"
+        f" WHEN {scores['fr']} >= {scores['de']} AND {scores['fr']} >= {scores['es']} THEN 'fr'"
+        f" WHEN {scores['de']} >= {scores['es']} THEN 'de' ELSE 'es' END"
+    )
+    return spark.table("documents").select(
+        "doc_id",
+        F.expr(pick).alias("pred_lang"),
+        F.col("lang"),
+        F.expr(f"CAST(CASE WHEN ({pick}) = lang THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "is_match"
+        ),
+    )
+
+
+def _duck_lang_scores() -> dict[str, str]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        pred = " OR ".join(f"x = '{w}'" for w in markers)
+        out[lang] = f"len(list_filter(regexp_split_to_array(text, '\\s+'), x -> {pred}))"
+    return out
+
+
+_DS = _duck_lang_scores()
+_DUCK_PICK = (
+    f"CASE WHEN {_DS['en']} >= {_DS['fr']} AND {_DS['en']} >= {_DS['de']}"
+    f" AND {_DS['en']} >= {_DS['es']} THEN 'en'"
+    f" WHEN {_DS['fr']} >= {_DS['de']} AND {_DS['fr']} >= {_DS['es']} THEN 'fr'"
+    f" WHEN {_DS['de']} >= {_DS['es']} THEN 'de' ELSE 'es' END"
+)
+ORACLE_LANG_ID = f"""
+SELECT doc_id,
+       {_DUCK_PICK} AS pred_lang,
+       lang,
+       CAST(CASE WHEN ({_DUCK_PICK}) = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+FROM documents
+"""
+
+
+# --- doc_fingerprint: min-hash document fingerprint ---------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    sh = spark.table("documents").select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
+    )
+    return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+WITH docs_aug AS (SELECT doc_id, text FROM documents),
+shingles AS ({_SHINGLES_DUCK})
+SELECT doc_id, MIN(md5(shingle)) AS fingerprint
+FROM shingles GROUP BY 1
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+}

@@ -1,0 +1,175 @@
+"""Deterministic geometry synthesis from the driver's TPC-H-ish test tables.
+
+The driver-provided parquet (`region nation customer supplier part orders
+lineitem events documents embeddings`) carries no geometry, so the engine's
+spatial fixtures are *derived* from integer keys with arithmetic that is
+bit-identical in Spark SQL and DuckDB: integer modulo -> division by an exact
+power-of-ten literal.  Each view below is a single SQL text used verbatim by
+BOTH engines (registered as a Spark temp view / inlined as a DuckDB CTE), so
+coordinates agree to the last bit and the correctness gate compares only the
+*operators*, not the fixtures.
+
+Layers (mirroring GAIT's Lindex layer concept, share_linux.h:782 `Lindex`):
+
+* ``geo_points``  — customer -> world-wide point features on a 0.05 deg lattice
+  with an fcode from a small MGCP-style vocabulary (mgcp3_class.c:21 pattern).
+* ``geo_zones``   — nation -> 25 large triangle areal features (vertices offset
+  by non-round constants so lattice points never sit on an edge).
+* ``geo_sites``   — supplier -> points clustered in a 4x4 deg window (dense
+  enough for proximity/kNN checks at every sf).
+* ``geo_lines``   — orders -> short 3-vertex polylines near the site window,
+  with planted undershoots/kinks keyed off o_orderkey residues.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver parquet tables as temp views (idempotent)."""
+    for t in TESTDATA_TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# --- geo_points: customer -> global points -------------------------------------
+# lon in [-180, 180) step 0.05; lat in [-60, 60) step 0.05.  Pure int arithmetic
+# then division by exact literals => bit-identical doubles in both engines.
+GEO_POINTS_SQL = """
+SELECT
+  c_custkey                                          AS point_id,
+  CAST((c_custkey * 9973) % 7200 AS DOUBLE) / 20.0 - 180.0 AS lon,
+  CAST((c_custkey * 7919) % 2400 AS DOUBLE) / 20.0 - 60.0  AS lat,
+  CASE CAST(c_custkey % 4 AS INT)
+    WHEN 0 THEN 'AL015' WHEN 1 THEN 'GB005' WHEN 2 THEN 'BH140' ELSE 'AP030'
+  END                                                AS fcode,
+  c_nationkey                                        AS nation_ref
+FROM customer
+"""
+
+# --- geo_zones: nation -> 25 triangles -----------------------------------------
+# Centers spread over the globe; vertex offsets are non-round so no lattice
+# point of geo_points can lie exactly on an edge.
+GEO_ZONES_SQL = """
+SELECT
+  n_nationkey                                         AS zone_id,
+  'FA000'                                             AS zone_fcode,
+  CAST((n_nationkey * 2641) % 6400 AS DOUBLE) / 20.0 - 160.0 AS cx,
+  CAST((n_nationkey * 1871) % 1800 AS DOUBLE) / 20.0 - 45.0  AS cy,
+  CAST((n_nationkey * 2641) % 6400 AS DOUBLE) / 20.0 - 160.0 + 0.0012345 AS x1,
+  CAST((n_nationkey * 1871) % 1800 AS DOUBLE) / 20.0 - 45.0  + 9.5067891 AS y1,
+  CAST((n_nationkey * 2641) % 6400 AS DOUBLE) / 20.0 - 160.0 - 8.2034567 AS x2,
+  CAST((n_nationkey * 1871) % 1800 AS DOUBLE) / 20.0 - 45.0  - 6.1045678 AS y2,
+  CAST((n_nationkey * 2641) % 6400 AS DOUBLE) / 20.0 - 160.0 + 8.3056789 AS x3,
+  CAST((n_nationkey * 1871) % 1800 AS DOUBLE) / 20.0 - 45.0  - 6.2023456 AS y3
+FROM nation
+"""
+
+# --- geo_sites: supplier -> clustered points (proximity fixture) ---------------
+# All sites inside lon [10, 14), lat [40, 44): a ~440 km x ~330 km window.
+GEO_SITES_SQL = """
+SELECT
+  s_suppkey                                           AS site_id,
+  CAST((s_suppkey * 641) % 4000 AS DOUBLE) / 1000.0 + 10.0 AS lon,
+  CAST((s_suppkey * 331) % 4000 AS DOUBLE) / 1000.0 + 40.0 AS lat,
+  CASE CAST(s_suppkey % 3 AS INT)
+    WHEN 0 THEN 'AD010' WHEN 1 THEN 'AM010' ELSE 'AT010'
+  END                                                 AS fcode
+FROM supplier
+"""
+
+# --- geo_lines: orders -> 3-vertex polylines -----------------------------------
+# Start point in the same window as geo_sites; second vertex heads roughly east;
+# third vertex bends by a key-dependent amount.  Planted defects:
+#   * o_orderkey % 37 == 0 -> hard kink (direction reversal) at vertex 2
+#   * o_orderkey % 41 == 0 -> end node (x3, y3) lands ~1.5-2.5 m from the first
+#     vertex of line (o_orderkey + 1): an undershoot (LUNDERSHTL fixture)
+# The %41 branch wins when both apply (CASE order), mirroring one-defect-per-
+# feature fixtures in FIXTURES.md §6.
+GEO_LINES_SQL = """
+SELECT
+  o_orderkey                                          AS line_id,
+  CASE CAST(o_orderkey % 5 AS INT)
+    WHEN 0 THEN 'AP030' WHEN 1 THEN 'AT030' WHEN 2 THEN 'BH140'
+    WHEN 3 THEN 'AN010' ELSE 'AQ040'
+  END                                                 AS fcode,
+  CAST((o_orderkey * 487) % 4000 AS DOUBLE) / 1000.0 + 10.0 AS x1,
+  CAST((o_orderkey * 257) % 4000 AS DOUBLE) / 1000.0 + 40.0 AS y1,
+  CAST((o_orderkey * 487) % 4000 AS DOUBLE) / 1000.0 + 10.0
+    + CAST(1 + (o_orderkey % 7) AS DOUBLE) / 1000.0           AS x2,
+  CAST((o_orderkey * 257) % 4000 AS DOUBLE) / 1000.0 + 40.0
+    + CAST((o_orderkey * 11) % 5 AS DOUBLE) / 10000.0         AS y2,
+  CASE WHEN o_orderkey % 41 = 0
+       THEN CAST(((o_orderkey + 1) * 487) % 4000 AS DOUBLE) / 1000.0 + 10.0
+            + 0.0000191
+       WHEN o_orderkey % 37 = 0
+       THEN CAST((o_orderkey * 487) % 4000 AS DOUBLE) / 1000.0 + 10.0
+            + CAST(1 + (o_orderkey % 7) AS DOUBLE) / 1000.0
+            - CAST(1 + (o_orderkey % 7) AS DOUBLE) / 1050.0
+       ELSE CAST((o_orderkey * 487) % 4000 AS DOUBLE) / 1000.0 + 10.0
+            + CAST(1 + (o_orderkey % 7) AS DOUBLE) / 1000.0
+            + CAST(1 + (o_orderkey % 9) AS DOUBLE) / 1000.0 END AS x3,
+  CASE WHEN o_orderkey % 41 = 0
+       THEN CAST(((o_orderkey + 1) * 257) % 4000 AS DOUBLE) / 1000.0 + 40.0
+            + 0.0000077
+       ELSE CAST((o_orderkey * 257) % 4000 AS DOUBLE) / 1000.0 + 40.0
+            + CAST((o_orderkey * 11) % 5 AS DOUBLE) / 10000.0
+            + CAST((o_orderkey * 13) % 7 AS DOUBLE) / 10000.0 END AS y3
+FROM orders
+"""
+
+# --- geo_lines_dup: orders -> lines keyed mod 997 (duplicate-geometry fixture) --
+# Geometry is a pure function of o_orderkey % 997, so at >=1500 orders every
+# residue class yields byte-identical vertex sequences -> G_DUPS groups
+# (reference duplicate checks: TT.c CheckRegion duplicate sections, errors.c:11267).
+GEO_LINES_DUP_SQL = """
+SELECT
+  o_orderkey                                          AS line_id,
+  CAST(o_orderkey % 997 AS BIGINT)                    AS geom_seed,
+  CAST(((o_orderkey % 997) * 487) % 4000 AS DOUBLE) / 1000.0 + 10.0 AS x1,
+  CAST(((o_orderkey % 997) * 257) % 4000 AS DOUBLE) / 1000.0 + 40.0 AS y1,
+  CAST(((o_orderkey % 997) * 487) % 4000 AS DOUBLE) / 1000.0 + 10.0
+    + CAST(1 + ((o_orderkey % 997) % 7) AS DOUBLE) / 1000.0  AS x2,
+  CAST(((o_orderkey % 997) * 257) % 4000 AS DOUBLE) / 1000.0 + 40.0
+    + CAST(((o_orderkey % 997) * 11) % 5 AS DOUBLE) / 10000.0 AS y2
+FROM orders
+"""
+
+GEO_VIEWS: dict[str, str] = {
+    "geo_points": GEO_POINTS_SQL,
+    "geo_zones": GEO_ZONES_SQL,
+    "geo_sites": GEO_SITES_SQL,
+    "geo_lines": GEO_LINES_SQL,
+    "geo_lines_dup": GEO_LINES_DUP_SQL,
+}
+
+
+def register_geo_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register testdata + derived geometry views in one call."""
+    register_testdata_views(spark, sf_dir)
+    for name, sql in GEO_VIEWS.items():
+        spark.sql(sql).createOrReplaceTempView(name)
+
+
+def geo_view(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_geo_views(spark, sf_dir)
+    return spark.table(name)
+
+
+def oracle_cte(*names: str) -> str:
+    """DuckDB CTE prefix defining the requested geometry views."""
+    parts = [f"{n} AS ({GEO_VIEWS[n]})" for n in names]
+    return "WITH " + ",\n".join(parts)
