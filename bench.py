@@ -1,0 +1,96 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with ``df.count()`` (full execution, no driver-side
+transfer).  A small warm-up job runs first so JVM/codegen startup is not
+attributed to the first query.  Extra keys: rows per query, features_per_sec
+for the spatial-check stage (the BASELINE.json throughput metric), cpu count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "geo_pip",
+    "geo_prox_pairs",
+    "geo_undershoot",
+    "geo_kink",
+    "geo_dup_geom",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "events_sessionize",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+]
+
+# spatial checks whose input cardinality defines "features" for features/sec
+SPATIAL = {"geo_pip", "geo_prox_pairs", "geo_undershoot", "geo_kink", "geo_dup_geom"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from geospatial_analysis_integrity_tool_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("gait-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: touch every input table + start executors/codegen
+    from geospatial_analysis_integrity_tool_spark.sources.synthetic import (
+        TESTDATA_TABLES,
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir)
+    n_features = 0
+    for t in TESTDATA_TABLES:
+        c = spark.table(t).count()
+        if t in ("customer", "supplier", "orders"):
+            n_features += c
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    spatial_time = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        rows[name] = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        if name in SPATIAL:
+            spatial_time += dt
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "rows": rows,
+        "spatial_features_per_sec": round(n_features / spatial_time, 1)
+        if spatial_time > 0
+        else None,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
