@@ -1,0 +1,84 @@
+"""Conditions (error) relation: schema, consolidation, export parity.
+
+The output contract reproduces GAIT's exported condition shapefile DBF schema
+(SEEIT_API.c:11108-11700 WriteDBHeader/WriteDBEntry fields: ERRTYPE :11184,
+MAGNITUDE :11212, INSTANCE :11240, COND_NUM :11268, CODE1/2 :11300/:11328,
+LABEL1/2, ANNOTATION, ORIG_GEOM, SEDRISID, ATTRSCHEMA, RETAINIGN) plus the
+engine's lineage columns (tile cell id, geom_kind PT/LN like the separate
+point/line shapefiles DOLines :11840 / DoPoints :12135).
+
+Consolidation reproduces errors.c:12480-12620: re-read per-check results,
+drop exact duplicates arising from tile overlap (DC_FreadFwrite* :1361-3433),
+then assign a *deterministic* sequential ordinal per (errtype, instance) —
+GAIT numbers conditions in region-scan order; the engine replaces scan order
+with an explicit total order (order_keys), which is the documented parity
+contract under parallelism (SURVEY.md §7.3 note 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: full export column set (DBF schema parity + engine lineage)
+CONDITION_COLUMNS = [
+    "errtype",        # condition name, e.g. 'SLIVER'
+    "instance",       # check clone number
+    "cond_num",       # deterministic ordinal within (errtype, instance)
+    "magnitude_mm",   # measured value, floor(x*1000) (3-decimal truncation,
+                      # TT.c:709 SignificantDecimals / utilities.c:97)
+    "code1",          # participant fcode (ECC1, GAIT_API.h:763)
+    "code2",
+    "sedrisid",       # participant feature ident
+    "geom_kind",      # 'PT' | 'LN' (separate point/line exports)
+    "annotation",
+    "attrschema",
+    "retainign",
+    "cell",           # tile assignment (parity target across parallelism)
+]
+
+
+def consolidate(
+    conditions: DataFrame,
+    order_keys: list[str] = ("magnitude_mm", "sedrisid"),
+    dedup_keys: list[str] | None = None,
+) -> DataFrame:
+    """Dedup + deterministic ordinal numbering (errors.c:12480 semantics).
+
+    dedup_keys default: the full condition identity minus cond_num — exact
+    duplicate drop, like DC_FreadFwrite* over re-read per-check files.
+    """
+    if dedup_keys is None:
+        dedup_keys = [c for c in conditions.columns if c != "cond_num"]
+    deduped = conditions.dropDuplicates(dedup_keys)
+    w = (
+        Window.partitionBy("errtype", "instance")
+        .orderBy(*[F.col(k).asc() for k in order_keys])
+    )
+    return deduped.withColumn("cond_num", F.row_number().over(w).cast("bigint"))
+
+
+def mark_ignored(new: DataFrame, prior: DataFrame, identity_keys: list[str]) -> DataFrame:
+    """-markignore replay (interface.c:43738-43749 / CountIgnored :43743):
+    conditions present in a prior run are flagged retainign=1 instead of
+    re-reported — a broadcast left-semi membership flag."""
+    prior_ids = prior.select(*identity_keys).dropDuplicates(identity_keys)
+    flag = F.broadcast(prior_ids.withColumn("_seen", F.lit(1)))
+    return (
+        new.join(flag, identity_keys, "left")
+        .withColumn("retainign", F.when(F.col("_seen").isNotNull(), 1).otherwise(0))
+        .drop("_seen")
+    )
+
+
+def summary_report(conditions: DataFrame) -> DataFrame:
+    """WriteSummaryReport (interface.c:19527) rollup."""
+    return (
+        conditions.groupBy("errtype", "instance")
+        .agg(
+            F.count("*").alias("n_conditions"),
+            F.min("magnitude_mm").alias("min_magnitude_mm"),
+            F.max("magnitude_mm").alias("max_magnitude_mm"),
+        )
+    )

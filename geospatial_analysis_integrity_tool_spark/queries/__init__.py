@@ -6,11 +6,11 @@ from __future__ import annotations
 
 
 def all_queries():
-    from . import embeddings, geometry, relational, textops
+    from . import attrchecks, conditionspipe, embeddings, geometry, relational, textops
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, geometry, textops, embeddings):
+    for mod in (relational, geometry, textops, embeddings, attrchecks, conditionspipe):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o

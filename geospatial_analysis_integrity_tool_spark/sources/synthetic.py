@@ -131,6 +131,31 @@ SELECT
 FROM orders
 """
 
+# --- geo_areas: orders -> triangle areal features ------------------------------
+# Width 1..5 mdeg; every 13th order is a planted sliver (height = width/400,
+# area/perimeter^2 ~ 0.001 << the 0.01 sliver threshold; FIXTURES.md §6
+# sliver_tri_01, reference default sensitivity errors.c:21801).
+GEO_AREAS_SQL = """
+SELECT
+  o_orderkey                                          AS area_id,
+  CASE CAST(o_orderkey % 3 AS INT)
+    WHEN 0 THEN 'FA000' WHEN 1 THEN 'AL015' ELSE 'BH140'
+  END                                                 AS fcode,
+  CAST((o_orderkey * 719) % 4000 AS DOUBLE) / 1000.0 + 10.0 AS x1,
+  CAST((o_orderkey * 523) % 4000 AS DOUBLE) / 1000.0 + 40.0 AS y1,
+  CAST((o_orderkey * 719) % 4000 AS DOUBLE) / 1000.0 + 10.0
+    + CAST(1 + o_orderkey % 5 AS DOUBLE) / 1000.0           AS x2,
+  CAST((o_orderkey * 523) % 4000 AS DOUBLE) / 1000.0 + 40.0 AS y2,
+  CAST((o_orderkey * 719) % 4000 AS DOUBLE) / 1000.0 + 10.0
+    + CAST(1 + o_orderkey % 5 AS DOUBLE) / 2000.0           AS x3,
+  CAST((o_orderkey * 523) % 4000 AS DOUBLE) / 1000.0 + 40.0
+    + CASE WHEN o_orderkey % 13 = 0
+           THEN CAST(1 + o_orderkey % 5 AS DOUBLE) / 400000.0
+           ELSE CAST(1 + o_orderkey % 5 AS DOUBLE) / 1000.0
+                * CAST(4 + o_orderkey % 7 AS DOUBLE) / 10.0 END AS y3
+FROM orders
+"""
+
 # --- geo_lines_dup: orders -> lines keyed mod 997 (duplicate-geometry fixture) --
 # Geometry is a pure function of o_orderkey % 997, so at >=1500 orders every
 # residue class yields byte-identical vertex sequences -> G_DUPS groups
@@ -154,6 +179,7 @@ GEO_VIEWS: dict[str, str] = {
     "geo_sites": GEO_SITES_SQL,
     "geo_lines": GEO_LINES_SQL,
     "geo_lines_dup": GEO_LINES_DUP_SQL,
+    "geo_areas": GEO_AREAS_SQL,
 }
 
 
