@@ -6,11 +6,27 @@ from __future__ import annotations
 
 
 def all_queries():
-    from . import attrchecks, conditionspipe, embeddings, geometry, relational, textops
+    from . import (
+        attrchecks,
+        conditionspipe,
+        embeddings,
+        geometry,
+        overlay,
+        relational,
+        textops,
+    )
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, geometry, textops, embeddings, attrchecks, conditionspipe):
+    for mod in (
+        relational,
+        geometry,
+        textops,
+        embeddings,
+        attrchecks,
+        conditionspipe,
+        overlay,
+    ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o
