@@ -8,9 +8,11 @@ from __future__ import annotations
 def all_queries():
     from . import (
         attrchecks,
+        checks2,
         conditionspipe,
         embeddings,
         geometry,
+        nonsql,
         overlay,
         relational,
         textops,
@@ -26,6 +28,8 @@ def all_queries():
         attrchecks,
         conditionspipe,
         overlay,
+        checks2,
+        nonsql,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

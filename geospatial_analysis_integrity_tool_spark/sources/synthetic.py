@@ -156,6 +156,26 @@ SELECT
 FROM orders
 """
 
+# --- geo_edges: orders -> boundary edge-match fixture --------------------------
+# Line ends approaching the 12E meridian from the west (xa, ya); counterpart
+# start across the meridian (xb, yb) is absent for every 3rd order and
+# displaced out of tolerance for every 5th -> LGEOM_UNM_LON unmatched rows
+# (reference edge matching: PerformEdgeMatchChecks geomchecks.c:2958).
+GEO_EDGES_SQL = """
+SELECT
+  o_orderkey                                          AS eid,
+  12.0 - CAST(1 + o_orderkey % 9 AS DOUBLE) / 1000000.0 AS xa,
+  40.0 + CAST((o_orderkey * 37) % 4000 AS DOUBLE) / 1000.0 AS ya,
+  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+       ELSE 12.0 + CAST(1 + o_orderkey % 7 AS DOUBLE) / 1000000.0 END AS xb,
+  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+       WHEN o_orderkey % 5 = 0
+       THEN 40.0 + CAST((o_orderkey * 37) % 4000 AS DOUBLE) / 1000.0 + 0.00045
+       ELSE 40.0 + CAST((o_orderkey * 37) % 4000 AS DOUBLE) / 1000.0
+            + CAST(o_orderkey % 4 AS DOUBLE) / 1000000.0 END AS yb
+FROM orders
+"""
+
 # --- geo_lines_dup: orders -> lines keyed mod 997 (duplicate-geometry fixture) --
 # Geometry is a pure function of o_orderkey % 997, so at >=1500 orders every
 # residue class yields byte-identical vertex sequences -> G_DUPS groups
@@ -180,6 +200,7 @@ GEO_VIEWS: dict[str, str] = {
     "geo_lines": GEO_LINES_SQL,
     "geo_lines_dup": GEO_LINES_DUP_SQL,
     "geo_areas": GEO_AREAS_SQL,
+    "geo_edges": GEO_EDGES_SQL,
 }
 
 
