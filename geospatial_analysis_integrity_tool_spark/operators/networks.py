@@ -1,0 +1,101 @@
+"""Network formation + connected components — GAIT's graph check group.
+
+Reference: networks are formed from line endpoints (AddEdgesToNetwork
+TT.c:54437, CREATENET 63) and transitive counters propagate over them
+(InitializeBucketsOfTransNets / PropagateTransitiveCounters /
+PerformTransitiveChecks, moregeomchecks.c:2749-2854) to drive isolation
+checks (NETISOFEAT 120, EXTRA_NET 50, INTRA_NET 56).
+
+Spark-native shape: nodes are quantized endpoint keys (exact micro-degree
+coincidence — deterministic, no tolerance fuzz), the line-adjacency edge list
+is a self-join on node key, and components run as iterative min-label
+propagation with DataFrame joins — the standard Catalyst-planned CC loop
+(converges in O(diameter) rounds; GAIT's per-region graphs are tiny stars, so
+a handful of rounds suffices; a large-star/small-star variant drops in for
+continental graphs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def endpoint_nodes(
+    lines: DataFrame,
+    id_col: str = "line_id",
+    ends: list[tuple[str, str]] = (("x1", "y1"), ("x3", "y3")),
+) -> DataFrame:
+    """(line, node_key) rows; node key = exact micro-degree quantized endpoint."""
+    parts = []
+    for x, y in ends:
+        parts.append(
+            lines.selectExpr(
+                f"{id_col} AS line_id",
+                f"CAST(floor({x} * 1000000.0) AS BIGINT) * 1000000000"
+                f" + CAST(floor({y} * 1000000.0) AS BIGINT) AS node_key",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def line_adjacency(nodes: DataFrame) -> DataFrame:
+    """(a, b) line pairs sharing a node, both directions (self excluded)."""
+    l = nodes.select(F.col("line_id").alias("a"), "node_key")
+    r = nodes.select(F.col("line_id").alias("b"), "node_key")
+    return (
+        l.join(r, "node_key")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def connected_components(
+    lines: DataFrame,
+    id_col: str = "line_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(line_id, component_id) with component_id = min line id in component."""
+    nodes = endpoint_nodes(lines, id_col)
+    edges = line_adjacency(nodes).cache()
+    labels = lines.select(F.col(id_col).alias("line_id")).withColumn(
+        "label", F.col("line_id")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("line_id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("a", "line_id")
+        )
+        new_labels = (
+            labels.join(neigh, "line_id", "left")
+            .select(
+                "line_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "line_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.withColumnRenamed("label", "component_id")
+
+
+def component_stats(components: DataFrame) -> DataFrame:
+    """Per-component rollup (NETISOFEAT-style isolation = size-1 components)."""
+    return components.groupBy("component_id").agg(F.count("*").alias("n_lines"))

@@ -12,6 +12,8 @@ def all_queries():
         conditionspipe,
         embeddings,
         geometry,
+        metadataq,
+        networksq,
         nonsql,
         overlay,
         relational,
@@ -29,6 +31,8 @@ def all_queries():
         conditionspipe,
         overlay,
         checks2,
+        networksq,
+        metadataq,
         nonsql,
     ):
         q.update(mod.QUERIES)
