@@ -59,6 +59,53 @@ def consolidate(
     return deduped.withColumn("cond_num", F.row_number().over(w).cast("bigint"))
 
 
+def consolidate_scalable(
+    conditions: DataFrame,
+    cell_col: str = "cell",
+    order_keys: list[str] = ("magnitude_mm", "sedrisid"),
+    dedup_keys: list[str] | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Scale-safe ordinal numbering: two-phase (per-cell rank + cell offsets).
+
+    ``consolidate`` windows over (errtype, instance) — a handful of partitions,
+    so at 10^8 conditions the sort serializes on a few tasks.  This variant
+    ranks within (errtype, instance, cell) — thousands of tasks — then adds
+    per-cell offsets computed on the tiny counts table.  The resulting total
+    order is (cell, *order_keys), which is exactly GAIT's region-major
+    numbering contract (conditions numbered in region-scan order,
+    errors.c:12480; SURVEY.md §7.3 note 2).
+    """
+    if dedup:
+        if dedup_keys is None:
+            dedup_keys = [c for c in conditions.columns if c != "cond_num"]
+        deduped = conditions.dropDuplicates(dedup_keys)
+    else:
+        # caller guarantees uniqueness (no tile-overlap duplication upstream):
+        # skips one full shuffle of the condition set
+        deduped = conditions
+    w_local = Window.partitionBy("errtype", "instance", cell_col).orderBy(
+        *[F.col(k).asc() for k in order_keys]
+    )
+    local = deduped.withColumn("_rk", F.row_number().over(w_local))
+    counts = deduped.groupBy("errtype", "instance", cell_col).agg(
+        F.count("*").alias("_n")
+    )
+    w_off = (
+        Window.partitionBy("errtype", "instance")
+        .orderBy(F.col(cell_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).drop("_n")
+    return (
+        local.join(F.broadcast(offsets), ["errtype", "instance", cell_col])
+        .withColumn("cond_num", (F.col("_off") + F.col("_rk")).cast("bigint"))
+        .drop("_rk", "_off")
+    )
+
+
 def mark_ignored(new: DataFrame, prior: DataFrame, identity_keys: list[str]) -> DataFrame:
     """-markignore replay (interface.c:43738-43749 / CountIgnored :43743):
     conditions present in a prior run are flagged retainign=1 instead of

@@ -76,6 +76,32 @@ def pip_ray_cast(px: np.ndarray, py: np.ndarray, xs_list, ys_list) -> np.ndarray
     return (crossing.sum(axis=1) % 2).astype(bool)
 
 
+def pip_ray_cast_ring(px: np.ndarray, py: np.ndarray, ring_x, ring_y) -> np.ndarray:
+    """Many points against ONE ring (broadcast form of pip_ray_cast).
+
+    Identical semantics to :func:`pip_ray_cast`; avoids the per-row padding
+    loop when a whole candidate group shares a polygon (the common case in
+    the PIP join kernel).
+    """
+    rx = np.asarray(ring_x, dtype=np.float64)
+    ry = np.asarray(ring_y, dtype=np.float64)
+    if len(rx) >= 2 and rx[-1] == rx[0] and ry[-1] == ry[0]:
+        rx, ry = rx[:-1], ry[:-1]
+    if len(rx) == 0:
+        return np.zeros(len(px), dtype=bool)
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    X = rx[None, :]
+    Y = ry[None, :]
+    Xj = np.roll(rx, 1)[None, :]
+    Yj = np.roll(ry, 1)[None, :]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cond = (Y > py) != (Yj > py)
+        x_int = (Xj - X) * (py - Y) / (Yj - Y) + X
+        crossing = cond & (px < x_int)
+    return (crossing.sum(axis=1) % 2).astype(bool)
+
+
 def _orient(ax, ay, bx, by, cx, cy):
     return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
 

@@ -150,35 +150,58 @@ def single_feature_checks(
     """features (feature_id, fcode, geom_type, xs, ys) -> condition rows.
 
     geom_type: 2 = line (open), 3 = area (implicitly closed ring).
-    """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    Runs under ``mapInArrow``: vertex arrays decode straight from the Arrow
+    list buffers into padded matrices (functions/arrowpad.py) — the
+    pandas/tolist path creates one Python object per vertex and was the
+    kernel's dominant, GC-contended cost at millions of rows.
+    """
+    import pyarrow as pa
+
+    from ..functions.arrowpad import list_array_to_padded
+
+    out_pa_schema = pa.schema(
+        [
+            ("feature_id", pa.int64()),
+            ("fcode", pa.string()),
+            ("errtype", pa.string()),
+            ("magnitude_mm", pa.int64()),
+            ("geom_kind", pa.string()),
+        ]
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            X, Y, V = pad_rings(pdf["xs"].tolist(), pdf["ys"].tolist())
-            fid = pdf["feature_id"].to_numpy()
-            fcode = pdf["fcode"].to_numpy()
+            X, V = list_array_to_padded(batch.column("xs"))
+            Y, _ = list_array_to_padded(batch.column("ys"))
+            fid = batch.column("feature_id").to_numpy(zero_copy_only=False)
+            fcode_arr = batch.column("fcode")
+            geom = batch.column("geom_type").to_numpy(zero_copy_only=False)
             nverts = V.sum(axis=1)
             # degenerate features (no segments / no ring) emit nothing here;
             # they are ingest-report material (extract.main.c bad-data files)
-            is_area = (pdf["geom_type"].to_numpy() == 3) & (nverts >= 3)
-            is_line = (pdf["geom_type"].to_numpy() == 2) & (nverts >= 2)
+            is_area = (geom == 3) & (nverts >= 3)
+            is_line = (geom == 2) & (nverts >= 2)
 
             out_rows = []
 
             def emit(mask, errtype, magnitude_mm, kind):
-                if not mask.any():
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
                     return
+                k = len(idx)
                 out_rows.append(
-                    pd.DataFrame(
-                        {
-                            "feature_id": fid[mask],
-                            "fcode": fcode[mask],
-                            "errtype": errtype,
-                            "magnitude_mm": magnitude_mm[mask],
-                            "geom_kind": kind,
-                        }
+                    pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(fid[idx], type=pa.int64()),
+                            fcode_arr.take(pa.array(idx)),
+                            pa.array([errtype] * k, type=pa.string()),
+                            pa.array(magnitude_mm[idx], type=pa.int64()),
+                            pa.array([kind] * k, type=pa.string()),
+                        ],
+                        schema=out_pa_schema,
                     )
                 )
 
@@ -209,9 +232,8 @@ def single_feature_checks(
             loops = _self_intersects(X, Y, V)
             emit(is_line & loops, "LOOPS", np.zeros(len(fid), dtype=np.int64), "PT")
 
-            if out_rows:
-                yield pd.concat(out_rows, ignore_index=True)
+            yield from out_rows
 
-    return features.select("feature_id", "fcode", "geom_type", "xs", "ys").mapInPandas(
+    return features.select("feature_id", "fcode", "geom_type", "xs", "ys").mapInArrow(
         run, schema=CHECK_OUT_SCHEMA
     )

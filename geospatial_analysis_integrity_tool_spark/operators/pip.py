@@ -7,28 +7,36 @@ PointInsidePoly TT.c:6920):
    single cell, polygons to every cell their bbox covers (the Spark analogue of
    GAIT's neighbor-region duplication, TT.c:44027-44030 /
    FindApplicableNeighborFeatures geomchecks.c:4602).
-2. **Equi-join on cell id** — Catalyst picks broadcast when the polygon side is
-   small (the common dim case) and a shuffled hash join otherwise; AQE splits
-   skewed cells.  At 100 TB the polygon cover is the salted build side; hot
-   cells are split upstream by plans/partitioning.py.
-3. **Exact refine** with the vectorized ray-cast kernel (Arrow batches), then
-   ``dropDuplicates`` on (point_id, poly_id) because a polygon met through
-   several cover cells must match once (GAIT dedups across region overlap the
-   same way, DC_FreadFwrite* errors.c:1361).
+2. **Equi-join on cell id.** The polygon side carries only (poly_id, bbox,
+   cell) — never vertex arrays — so the join output stays narrow.  Catalyst
+   broadcasts the cover when it is small; AQE splits skewed cells otherwise.
+3. **Exact refine** in a ``mapInPandas`` kernel: polygon vertex arrays travel
+   once as a **Spark broadcast** (poly_id -> padded numpy rings), the kernel
+   groups each Arrow batch by poly_id and runs the vectorized ray cast.
+   Shipping vertices per-candidate-row through Arrow was measured 5-10x
+   slower and anti-scaled (serialization bound) — see SCALE.md.
 
-The bbox prefilter before the exact kernel mirrors GAIT's minxvtx/maxxvtx
-prefilter (share_linux.h:710) — Catalyst cannot see inside the UDF, so the
-cheap reject is expressed as a JVM-side column predicate *before* the kernel.
+Because the probe side occupies exactly one cell, every (point, polygon) pair
+can only meet in that cell — the join output is already duplicate-free and
+the whole operator runs **without any shuffle** when the cover broadcasts.
+For polygon sets too large to broadcast vertices (rare: continent mosaics),
+``pip_join_shipped`` keeps the array-shipping variant.
+
+The bbox prefilter before the kernel mirrors GAIT's minxvtx/maxxvtx prefilter
+(share_linux.h:710) as a JVM-side predicate.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
-from ..functions.geometry import pip_ray_cast
+from ..functions.geometry import pad_rings, pip_ray_cast, pip_ray_cast_ring
 
 #: grid cell width in degrees for the spatial hash; 1 deg ~ 111 km. Chosen per
 #: dataset density by plans/partitioning.choose_cell_deg at scale.
@@ -72,14 +80,22 @@ def explode_bbox_cells(
     )
 
 
-@F.pandas_udf(BooleanType())
-def _pip_udf(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
-    if len(px) == 0:
-        return pd.Series([], dtype=bool)
-    return pd.Series(
-        pip_ray_cast(px.to_numpy(), py.to_numpy(), xs.tolist(), ys.tolist()),
-        index=px.index,
-    )
+def _candidates(
+    points: DataFrame,
+    polys_meta: DataFrame,
+    lon: str,
+    lat: str,
+    cell_deg: float,
+) -> DataFrame:
+    """Cell join + bbox prefilter; polys_meta = (poly_id, _minx.., cell)."""
+    pts_cells = with_point_cell(points, lon, lat, cell_deg)
+    joined = pts_cells.join(polys_meta, "cell")
+    return joined.filter(
+        (F.col(lon) >= F.col("_minx"))
+        & (F.col(lon) <= F.col("_maxx"))
+        & (F.col(lat) >= F.col("_miny"))
+        & (F.col(lat) <= F.col("_maxy"))
+    ).drop("cell", "_minx", "_maxx", "_miny", "_maxy")
 
 
 def pip_join(
@@ -96,8 +112,78 @@ def pip_join(
     """points (id, lon, lat, ...) x polys (id, xs: array, ys: array) -> matches.
 
     Returns one row per (point, containing polygon) with all point columns plus
-    the polygon id.
+    the polygon id.  Polygon vertices are broadcast to the kernel workers.
     """
+    spark = points.sparkSession
+    ppd = polys.select(poly_id, xs, ys).toPandas()
+    ids = ppd[poly_id].to_numpy()
+    X, Y, V = pad_rings(ppd[xs].tolist(), ppd[ys].tolist())
+    index = {int(p): i for i, p in enumerate(ids)}
+    bpolys = spark.sparkContext.broadcast((index, X, Y))
+
+    polys_meta = explode_bbox_cells(
+        polys.select(
+            F.col(poly_id),
+            F.array_min(xs).alias("_minx"),
+            F.array_max(xs).alias("_maxx"),
+            F.array_min(ys).alias("_miny"),
+            F.array_max(ys).alias("_maxy"),
+        ),
+        "_minx",
+        "_maxx",
+        "_miny",
+        "_maxy",
+        cell_deg,
+    )
+    cands = _candidates(points, polys_meta, lon, lat, cell_deg)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cands.schema.fields
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index_, X_, Y_ = bpolys.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for pid, grp in pdf.groupby(poly_id, sort=False):
+                i = index_[int(pid)]
+                ring_x = X_[i][~np.isnan(X_[i])]
+                ring_y = Y_[i][~np.isnan(Y_[i])]
+                pos = grp.index.to_numpy()
+                keep[pos] = pip_ray_cast_ring(
+                    grp[lon].to_numpy(), grp[lat].to_numpy(), ring_x, ring_y
+                )
+            if keep.any():
+                yield pdf.loc[keep]
+
+    return cands.mapInPandas(refine, schema=out_schema)
+
+
+@F.pandas_udf(BooleanType())
+def _pip_udf(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+    if len(px) == 0:
+        return pd.Series([], dtype=bool)
+    return pd.Series(
+        pip_ray_cast(px.to_numpy(), py.to_numpy(), xs.tolist(), ys.tolist()),
+        index=px.index,
+    )
+
+
+def pip_join_shipped(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_id: str = "poly_id",
+    xs: str = "xs",
+    ys: str = "ys",
+    cell_deg: float = DEFAULT_CELL_DEG,
+) -> DataFrame:
+    """Array-shipping variant for polygon sets too large to broadcast: vertex
+    arrays ride the join (heavier Arrow transfer) instead of a broadcast."""
     polys_b = polys.select(
         F.col(poly_id),
         F.col(xs).alias("_pxs"),
@@ -109,16 +195,11 @@ def pip_join(
     )
     polys_cells = explode_bbox_cells(polys_b, "_minx", "_maxx", "_miny", "_maxy", cell_deg)
     pts_cells = with_point_cell(points, lon, lat, cell_deg)
-
-    joined = pts_cells.join(polys_cells, "cell")
-    # JVM-side bbox prefilter before the Arrow kernel (share_linux.h:710 analogue)
-    joined = joined.filter(
+    joined = pts_cells.join(polys_cells, "cell").filter(
         (F.col(lon) >= F.col("_minx"))
         & (F.col(lon) <= F.col("_maxx"))
         & (F.col(lat) >= F.col("_miny"))
         & (F.col(lat) <= F.col("_maxy"))
     )
     matched = joined.filter(_pip_udf(F.col(lon), F.col(lat), F.col("_pxs"), F.col("_pys")))
-    return matched.drop("cell", "_pxs", "_pys", "_minx", "_maxx", "_miny", "_maxy").dropDuplicates(
-        [point_id, poly_id]
-    )
+    return matched.drop("cell", "_pxs", "_pys", "_minx", "_maxx", "_miny", "_maxy")

@@ -83,6 +83,8 @@ def point_proximity_pairs(
     )
     pairs = left.join(right, "cell").filter(F.col("id_a") < F.col("id_b"))
     dist = F.expr(sql_dist_m("_xa", "_ya", "_xb", "_yb"))
+    # the left side occupies exactly ONE cell and the right side's k-ring hits
+    # that cell at most once, so pairs are already unique — no dedup shuffle
     out = (
         pairs.withColumn("_d", dist)
         .filter((F.col("_d") > 0) & (F.col("_d") < F.lit(tol_m)))
@@ -91,7 +93,6 @@ def point_proximity_pairs(
             "id_b",
             F.expr("CAST(floor(_d * 1000.0) AS BIGINT)").alias("dist_mm"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     return out
 
