@@ -232,6 +232,18 @@ def single_feature_checks(
             loops = _self_intersects(X, Y, V)
             emit(is_line & loops, "LOOPS", np.zeros(len(fid), dtype=np.int64), "PT")
 
+            # explicit rings (geom_type 4): last vertex must equal the first
+            # (AREAUNCLOSED; GAIT notclosed flag, share_linux.h:728)
+            is_ring = (geom == 4) & (nverts >= 3)
+            if is_ring.any():
+                rows_i = np.arange(X.shape[0])
+                last_i = np.maximum(nverts - 1, 0)
+                unclosed = is_ring & (
+                    (X[rows_i, last_i] != X[:, 0]) | (Y[rows_i, last_i] != Y[:, 0])
+                )
+                emit(unclosed, "AREAUNCLOSED",
+                     np.zeros(len(fid), dtype=np.int64), "PT")
+
             yield from out_rows
 
     return features.select("feature_id", "fcode", "geom_type", "xs", "ys").mapInArrow(

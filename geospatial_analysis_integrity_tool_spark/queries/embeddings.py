@@ -86,12 +86,66 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_THRESHOLD}
 """
 
 
+# --- ann_cosine_topk_ivf: IVF bucketed approximate top-k ----------------------
+IVF_NLIST = 8
+IVF_NPROBE = 3
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_N_QUERIES)
+    from ..operators.ann import cosine_topk_ivf
+
+    return cosine_topk_ivf(emb, queries, k=TOPK_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE)
+
+
+ORACLE_ANN_TOPK_IVF = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS semb FROM embeddings ORDER BY vec_id LIMIT {IVF_NLIST}
+),
+assign AS (
+  SELECT vec_id, sid AS bucket FROM (
+    SELECT e.vec_id, s.sid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, s.semb) DESC, s.sid) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) t WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, sid FROM (
+    SELECT q.vec_id AS q_id, s.sid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, s.semb) DESC, s.sid) AS rn
+    FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id < {TOPK_N_QUERIES}
+  ) t WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.q_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cos
+  FROM probes p
+  JOIN embeddings q ON q.vec_id = p.q_id
+  JOIN assign a ON a.bucket = p.sid
+  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_topk,
+    "ann_cosine_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
+    "ann_cosine_topk_ivf": ORACLE_ANN_TOPK_IVF,
     "embedding_near_dup": ORACLE_NEAR_DUP,
 }

@@ -189,6 +189,16 @@ def run(cpus: int) -> dict:
     return out
 
 
+def _ceiling_work(_):
+    import numpy as np
+
+    a = np.random.default_rng(0).uniform(size=200_000)
+    acc = 0.0
+    for _i in range(400):
+        acc += float((a * 1.000001 + 0.5).sum())
+    return acc
+
+
 def machine_ceiling() -> dict:
     """All-core compute ceiling of this box: fixed numpy work per process at
     8 vs 32 concurrent processes (pure compute, no Spark).  A VM/CPU whose
@@ -197,19 +207,10 @@ def machine_ceiling() -> dict:
     raw and normalized by this ceiling."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def work(_):
-        a = np.random.default_rng(0).uniform(size=200_000)
-        acc = 0.0
-        for _i in range(400):
-            acc += float((a * 1.000001 + 0.5).sum())
-        return acc
-
     def throughput(nproc: int) -> float:
         t0 = time.time()
         with mp.Pool(nproc) as pool:
-            pool.map(work, range(nproc * 3))
+            pool.map(_ceiling_work, range(nproc * 3))
         return nproc * 3 / (time.time() - t0)
 
     th8 = throughput(8)
@@ -225,37 +226,48 @@ def machine_ceiling() -> dict:
 def main() -> None:
     gen()
     results: dict[int, list[dict]] = {8: [], 32: []}
-    for cpus in (8, 32):
+
+    def one(cpus: int) -> dict:
         # pin the WHOLE process tree (JVM + python workers) to the core
         # budget — local[8] otherwise runs its UDF workers on all cores
         pin = ["taskset", "-c", f"0-{cpus - 1}"]
-        # warm-up run (untimed)
-        subprocess.run(
+        p = subprocess.run(
             pin + [sys.executable, __file__, "run", str(cpus)],
             capture_output=True, text=True, check=True,
         )
-        for _ in range(3):
-            p = subprocess.run(
-                pin + [sys.executable, __file__, "run", str(cpus)],
-                capture_output=True, text=True, check=True,
-            )
-            results[cpus].append(json.loads(p.stdout.strip().splitlines()[-1]))
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    # warm-ups (untimed), then INTERLEAVED (8, 32) pairs: this VM's absolute
+    # speed drifts over minutes, so per-pair ratios + median-of-ratios cancel
+    # drift that batched back-to-back runs would absorb into the comparison
+    one(8)
+    one(32)
+    ratios = []
+    for _ in range(3):
+        r8 = one(8)
+        r32 = one(32)
+        results[8].append(r8)
+        results[32].append(r32)
+        ratios.append(r8["total_sec"] / r32["total_sec"])
 
     t8 = statistics.median(r["total_sec"] for r in results[8])
     t32 = statistics.median(r["total_sec"] for r in results[32])
+    ratio = statistics.median(ratios)
     f8 = statistics.median(r["features_per_sec"] for r in results[8])
     f32 = statistics.median(r["features_per_sec"] for r in results[32])
     hashes8 = {s: results[8][0]["stages"][s]["hash"] for s in results[8][0]["stages"]}
     hashes32 = {s: results[32][0]["stages"][s]["hash"] for s in results[32][0]["stages"]}
     ceiling = machine_ceiling()
-    eff = round((t8 / t32) / 4.0, 3)
+    eff = round(ratio / 4.0, 3)
     report = {
-        "protocol": "BASELINE.md §3: same job, same input, local[8] vs local[32]",
+        "protocol": "BASELINE.md §3: same job, same input, local[8] vs local[32],"
+        " interleaved pairs, median of per-pair ratios",
         "t8_sec": t8,
         "t32_sec": t32,
         "features_per_sec_8": f8,
         "features_per_sec_32": f32,
-        "speedup": round(t8 / t32, 3),
+        "speedup": round(ratio, 3),
+        "pair_ratios": [round(r, 3) for r in ratios],
         "scaling_efficiency": eff,
         "machine_ceiling": ceiling,
         "efficiency_vs_machine_ceiling": round(
