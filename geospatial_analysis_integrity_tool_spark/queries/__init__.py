@@ -9,12 +9,14 @@ def all_queries():
     from . import (
         attrchecks,
         checks2,
+        checks3,
         conditionspipe,
         embeddings,
         geometry,
         metadataq,
         networksq,
         nonsql,
+        overlap2,
         overlay,
         relational,
         textops,
@@ -30,7 +32,9 @@ def all_queries():
         attrchecks,
         conditionspipe,
         overlay,
+        overlap2,
         checks2,
+        checks3,
         networksq,
         metadataq,
         nonsql,
