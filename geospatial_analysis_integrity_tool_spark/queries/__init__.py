@@ -14,6 +14,7 @@ def all_queries():
         embeddings,
         geometry,
         metadataq,
+        misc,
         networksq,
         nonsql,
         overlap2,
@@ -37,6 +38,7 @@ def all_queries():
         checks3,
         networksq,
         metadataq,
+        misc,
         nonsql,
     ):
         q.update(mod.QUERIES)

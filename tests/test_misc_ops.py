@@ -1,0 +1,81 @@
+"""SimHash, multimodal plumbing, role gating, -markignore goldens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_simhash_detects_near_dups_not_unrelated(spark):
+    from geospatial_analysis_integrity_tool_spark.operators.simhash import (
+        simhash_near_dups,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup: hamming 0, always banded together
+            (3, "completely different words nothing shared here at all xyzzy "
+                "plugh quux foo bar baz qux corge grault garply waldo fred"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dups(docs).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_deterministic(spark):
+    from geospatial_analysis_integrity_tool_spark.operators.simhash import (
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} common words here tok{i + 1}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    b = {r.doc_id: r.simhash for r in simhash_signatures(docs.repartition(5)).collect()}
+    assert a == b
+
+
+def test_multimodal_plumbing(spark):
+    from geospatial_analysis_integrity_tool_spark.sources.multimodal import (
+        decode_media,
+        extract_media_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60)
+    assert media.schema.simpleString().startswith(
+        "struct<media_id:bigint,kind:string,payload:binary,meta:struct"
+    )
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 60
+    for r in feats[:10]:
+        assert r.n_bytes >= 32 and len(r.embedding) == 8
+        assert r.thumb_w <= 128 and r.thumb_h <= 128
+    # decode is explicitly stubbed (no codec libs in this container)
+    with pytest.raises(NotImplementedError):
+        decode_media(media, real=True)
+    # determinism across partitioning
+    f2 = extract_media_features(synth_media(spark, 60, partitions=7)).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, f2))
+
+
+def test_mark_ignored_replay(spark):
+    from geospatial_analysis_integrity_tool_spark.conditions import mark_ignored
+
+    new = spark.createDataFrame(
+        [("SLIVER", 1, "10"), ("SLIVER", 1, "11"), ("KINK", 1, "10")],
+        "errtype string, instance int, sedrisid string",
+    )
+    prior = spark.createDataFrame(
+        [("SLIVER", 1, "10")], "errtype string, instance int, sedrisid string"
+    )
+    out = {
+        (r.errtype, r.sedrisid): r.retainign
+        for r in mark_ignored(new, prior, ["errtype", "instance", "sedrisid"]).collect()
+    }
+    assert out == {("SLIVER", "10"): 1, ("SLIVER", "11"): 0, ("KINK", "10"): 0}
