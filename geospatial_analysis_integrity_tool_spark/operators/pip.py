@@ -161,6 +161,84 @@ def pip_join(
     return cands.mapInPandas(refine, schema=out_schema)
 
 
+def pip_join_salted(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_id: str = "poly_id",
+    xs: str = "xs",
+    ys: str = "ys",
+    cell_deg: float = DEFAULT_CELL_DEG,
+    target_rows_per_task: int = 100_000,
+) -> DataFrame:
+    """pip_join with the hot-cell salt plan applied (north rule: "skew
+    detected per-cell-histogram and hot cells split before shuffle").
+
+    Row-identical to :func:`pip_join` — salting only reshapes the physical
+    plan (probe rows scatter by stable hash over k salts; build rows
+    replicate) — which is exactly what the shared oracle verifies.
+    """
+    from ..plans.partitioning import cell_histogram, salt_plan, salted_join
+
+    spark = points.sparkSession
+    ppd = polys.select(poly_id, xs, ys).toPandas()
+    ids = ppd[poly_id].to_numpy()
+    X, Y, V = pad_rings(ppd[xs].tolist(), ppd[ys].tolist())
+    index = {int(p): i for i, p in enumerate(ids)}
+    bpolys = spark.sparkContext.broadcast((index, X, Y))
+
+    polys_meta = explode_bbox_cells(
+        polys.select(
+            F.col(poly_id),
+            F.array_min(xs).alias("_minx"),
+            F.array_max(xs).alias("_maxx"),
+            F.array_min(ys).alias("_miny"),
+            F.array_max(ys).alias("_maxy"),
+        ),
+        "_minx",
+        "_maxx",
+        "_miny",
+        "_maxy",
+        cell_deg,
+    )
+    pts_cells = with_point_cell(points, lon, lat, cell_deg)
+    plan = salt_plan(
+        cell_histogram(pts_cells), target_rows_per_task=target_rows_per_task
+    )
+    joined = salted_join(pts_cells, polys_meta, plan, probe_id=point_id)
+    cands = joined.filter(
+        (F.col(lon) >= F.col("_minx"))
+        & (F.col(lon) <= F.col("_maxx"))
+        & (F.col(lat) >= F.col("_miny"))
+        & (F.col(lat) <= F.col("_maxy"))
+    ).drop("cell", "_minx", "_maxx", "_miny", "_maxy")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cands.schema.fields
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index_, X_, Y_ = bpolys.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for pid, grp in pdf.groupby(poly_id, sort=False):
+                i = index_[int(pid)]
+                ring_x = X_[i][~np.isnan(X_[i])]
+                ring_y = Y_[i][~np.isnan(Y_[i])]
+                pos = grp.index.to_numpy()
+                keep[pos] = pip_ray_cast_ring(
+                    grp[lon].to_numpy(), grp[lat].to_numpy(), ring_x, ring_y
+                )
+            if keep.any():
+                yield pdf.loc[keep]
+
+    return cands.mapInPandas(refine, schema=out_schema)
+
+
 @F.pandas_udf(BooleanType())
 def _pip_udf(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
     if len(px) == 0:

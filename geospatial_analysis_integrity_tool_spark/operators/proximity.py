@@ -97,6 +97,58 @@ def point_proximity_pairs(
     return out
 
 
+def knn_points(
+    points: DataFrame,
+    k: int = 3,
+    id_col: str = "site_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    radius_m: float = 100000.0,
+    max_abs_lat_deg: float = 66.0,
+) -> DataFrame:
+    """k nearest neighbors per point within a search radius (H3-k-ring-style
+    kNN operator of the north star): k-ring candidate join + per-point window
+    rank.  Returns (site_id, neighbor_id, rank, dist_mm), rank 1..k by
+    (distance, neighbor id)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    cell_deg = max(
+        radius_m / (111319.5 * math.cos(math.radians(max_abs_lat_deg))) * 1.001, 1e-6
+    )
+    left = _with_cell(points, lon, lat, cell_deg).select(
+        F.col(id_col).alias("site_id"),
+        F.col(lon).alias("_xa"),
+        F.col(lat).alias("_ya"),
+        "cell",
+    )
+    right = _with_kring_cells(points, lon, lat, cell_deg).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(lon).alias("_xb"),
+        F.col(lat).alias("_yb"),
+        "cell",
+    )
+    d = F.expr(sql_dist_m("_xa", "_ya", "_xb", "_yb"))
+    cands = (
+        left.join(right, "cell")
+        .filter(F.col("site_id") != F.col("neighbor_id"))
+        .withColumn("_d", d)
+        .filter(F.col("_d") < F.lit(radius_m))
+    )
+    w = Window.partitionBy("site_id").orderBy(F.col("_d").asc(), F.col("neighbor_id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "site_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.expr("CAST(floor(_d * 1000.0) AS BIGINT)").alias("dist_mm"),
+        )
+    )
+
+
 def point_to_segment_proximity(
     points: DataFrame,
     segments: DataFrame,

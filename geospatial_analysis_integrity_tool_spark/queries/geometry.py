@@ -217,8 +217,65 @@ GROUP BY 1, 2
 """
 
 
+# --- geo_pip_salted: same semantics through the hot-cell salt plan ------------
+def q_geo_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-identical to geo_pip but executed through cell_histogram ->
+    salt_plan -> salted_join (north rule skew machinery); the shared oracle
+    proves salting changes only the physical plan."""
+    from ..operators.pip import pip_join_salted
+
+    register_geo_views(spark, sf_dir)
+    points = spark.table("geo_points")
+    zones = spark.table("geo_zones").select(
+        F.col("zone_id"),
+        F.array("x1", "x2", "x3").alias("xs"),
+        F.array("y1", "y2", "y3").alias("ys"),
+    )
+    # low target forces real salting on the densest cells even at sf0.01
+    out = pip_join_salted(
+        points, zones, point_id="point_id", poly_id="zone_id",
+        target_rows_per_task=50,
+    )
+    return out.select("point_id", "zone_id", "fcode")
+
+
+# --- geo_knn: k nearest neighbors per site ------------------------------------
+KNN_K = 3
+KNN_RADIUS_M = 100000.0
+
+
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.proximity import knn_points
+
+    register_geo_views(spark, sf_dir)
+    return knn_points(
+        spark.table("geo_sites"), k=KNN_K, radius_m=KNN_RADIUS_M, max_abs_lat_deg=44.1
+    )
+
+
+_KNN_D = sql_dist_m("a.lon", "a.lat", "b.lon", "b.lat")
+ORACLE_GEO_KNN = f"""
+{oracle_cte('geo_sites')},
+cand AS (
+  SELECT a.site_id AS site_id, b.site_id AS neighbor_id, {_KNN_D} AS d
+  FROM geo_sites a JOIN geo_sites b ON a.site_id <> b.site_id
+  WHERE {_KNN_D} < {KNN_RADIUS_M}
+),
+ranked AS (
+  SELECT site_id, neighbor_id, d,
+         row_number() OVER (PARTITION BY site_id ORDER BY d, neighbor_id) AS rank
+  FROM cand
+)
+SELECT site_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(d * 1000.0) AS BIGINT) AS dist_mm
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 QUERIES = {
     "geo_pip": q_geo_pip,
+    "geo_pip_salted": q_geo_pip_salted,
+    "geo_knn": q_geo_knn,
     "geo_prox_pairs": q_geo_prox_pairs,
     "geo_undershoot": q_geo_undershoot,
     "geo_kink": q_geo_kink,
@@ -228,6 +285,8 @@ QUERIES = {
 
 ORACLES = {
     "geo_pip": ORACLE_GEO_PIP,
+    "geo_pip_salted": ORACLE_GEO_PIP,
+    "geo_knn": ORACLE_GEO_KNN,
     "geo_prox_pairs": ORACLE_GEO_PROX,
     "geo_undershoot": ORACLE_GEO_UNDERSHOOT,
     "geo_kink": ORACLE_GEO_KINK,

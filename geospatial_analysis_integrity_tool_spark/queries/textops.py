@@ -58,13 +58,14 @@ docs_aug AS (
 )
 """
 
-# Spark-side shingle expression: 3-gram token shingles (1-based element_at)
-_SHINGLES_SPARK = (
-    "CASE WHEN size(split(text, '\\\\s+')) >= 3 THEN "
-    "transform(sequence(1, size(split(text, '\\\\s+')) - 2), "
-    "i -> concat(element_at(split(text, '\\\\s+'), i), ' ', "
-    "element_at(split(text, '\\\\s+'), i + 1), ' ', "
-    "element_at(split(text, '\\\\s+'), i + 2))) "
+# Spark-side shingles over a pre-materialized token array (splitting inside
+# the transform lambda would re-split the text once per shingle element)
+_TOKS_SPARK = "split(text, '\\\\s+')"
+_SHINGLES_FROM_TOKS = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    "transform(sequence(1, size(toks) - 2), "
+    "i -> concat(element_at(toks, i), ' ', "
+    "element_at(toks, i + 1), ' ', element_at(toks, i + 2))) "
     "ELSE array() END"
 )
 
@@ -104,7 +105,8 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     aug = _docs_aug(spark)
     sh = (
-        aug.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+        aug.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_TOKS)).alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -161,7 +163,11 @@ N_BANDS = 4
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     aug = _docs_aug(spark)
-    sh = aug.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")).distinct()
+    sh = (
+        aug.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_TOKS)).alias("shingle"))
+        .distinct()
+    )
     banded = sh.withColumn(
         "band", F.explode(F.array(*[F.lit(i) for i in range(N_BANDS)]))
     ).withColumn(
@@ -272,8 +278,10 @@ FROM documents
 # --- doc_fingerprint: min-hash document fingerprint ---------------------------
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
-    sh = spark.table("documents").select(
-        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
+    sh = (
+        spark.table("documents")
+        .select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_TOKS)).alias("shingle"))
     )
     return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
 
