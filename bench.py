@@ -24,12 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "geo_pip",
     "geo_prox_pairs",
+    "geo_knn",
     "geo_undershoot",
     "geo_kink",
     "geo_dup_geom",
+    "geo_line_intersections",
+    "geo_line_area",
+    "conditions_pipeline",
+    "raster_point_grid_dif",
     "q1_pricing_summary",
     "q5_region_revenue",
     "events_sessionize",
+    "attr_conformance",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
@@ -37,7 +43,17 @@ HEADLINE = [
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec
-SPATIAL = {"geo_pip", "geo_prox_pairs", "geo_undershoot", "geo_kink", "geo_dup_geom"}
+SPATIAL = {
+    "geo_pip",
+    "geo_prox_pairs",
+    "geo_knn",
+    "geo_undershoot",
+    "geo_kink",
+    "geo_dup_geom",
+    "geo_line_intersections",
+    "geo_line_area",
+    "conditions_pipeline",
+}
 
 
 def main() -> None:

@@ -94,30 +94,85 @@ def _bbox_cells(df: DataFrame, prefix: str, cell_deg: float) -> DataFrame:
 
 
 def q_line_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level crossing + vertex-level containment.
+
+    A whole-line bbox can be 2-D-large (the planted undershoot tails make
+    some line bboxes span degrees), which explodes the cell cover
+    quadratically.  Per-SEGMENT bboxes are thin (1-D-large at worst) and
+    per-VERTEX covers are single cells, so:
+
+    * LAINT  = any line segment properly crosses a triangle edge
+               (segment x area cell join);
+    * LINSIDEA = all 3 vertices strictly inside (triangles are convex, so
+               containment of all vertices excludes any crossing — the two
+               categories are exactly the oracle's CASE).
+    """
     register_geo_views(spark, sf_dir)
     cell_deg = 0.02
-    lines = spark.table("geo_lines").selectExpr(
-        "line_id", "x1 AS _lx1", "y1 AS _ly1", "x2 AS _lx2", "y2 AS _ly2",
-        "x3 AS _lx3", "y3 AS _ly3",
-    )
+    lines = spark.table("geo_lines")
     areas = spark.table("geo_areas").selectExpr(
         "area_id", "x1 AS _ax1", "y1 AS _ay1", "x2 AS _ax2", "y2 AS _ay2",
         "x3 AS _ax3", "y3 AS _ay3",
     )
-    lc = _bbox_cells(lines, "_l", cell_deg).drop("_minx", "_maxx", "_miny", "_maxy")
     ac = _bbox_cells(areas, "_a", cell_deg).drop("_minx", "_maxx", "_miny", "_maxy")
-    pairs = lc.join(ac, "cell").dropDuplicates(["line_id", "area_id"])
-    cross = F.expr(_LA_CROSS_SP)
-    inside = F.expr(_LA_INSIDE_SP)
-    out = pairs.select(
-        "line_id",
-        "area_id",
-        F.when(cross, F.lit("LAINT"))
-        .when(inside, F.lit("LINSIDEA"))
-        .otherwise(F.lit(None))
-        .alias("errtype"),
-    ).filter(F.col("errtype").isNotNull())
-    return out
+
+    # --- crossing: two segments per line, bbox-cell join ---------------------
+    segs = None
+    for i in (1, 2):
+        s = lines.selectExpr(
+            "line_id",
+            f"x{i} AS _sx1", f"y{i} AS _sy1", f"x{i + 1} AS _sx2", f"y{i + 1} AS _sy2",
+        )
+        segs = s if segs is None else segs.unionByName(s)
+    segs = (
+        segs.withColumn("_minx", F.least("_sx1", "_sx2"))
+        .withColumn("_maxx", F.greatest("_sx1", "_sx2"))
+        .withColumn("_miny", F.least("_sy1", "_sy2"))
+        .withColumn("_maxy", F.greatest("_sy1", "_sy2"))
+    )
+    sc = explode_bbox_cells(segs, "_minx", "_maxx", "_miny", "_maxy", cell_deg).drop(
+        "_minx", "_maxx", "_miny", "_maxy"
+    )
+    tri = [
+        ("_ax1", "_ay1", "_ax2", "_ay2"),
+        ("_ax2", "_ay2", "_ax3", "_ay3"),
+        ("_ax3", "_ay3", "_ax1", "_ay1"),
+    ]
+    seg_cross = " OR ".join(
+        _seg_cross("_sx1", "_sy1", "_sx2", "_sy2", *e) for e in tri
+    )
+    cross_pairs = (
+        sc.join(ac, "cell")
+        .filter(F.expr(seg_cross))
+        .select("line_id", "area_id")
+        .dropDuplicates(["line_id", "area_id"])
+    )
+
+    # --- containment: three vertices per line, single-cell join --------------
+    verts = None
+    for i in (1, 2, 3):
+        v = lines.selectExpr("line_id", f"x{i} AS _vx", f"y{i} AS _vy")
+        verts = v if verts is None else verts.unionByName(v)
+    from ..operators.pip import cell_id as _cid
+
+    vc = verts.withColumn(
+        "cell", _cid(F.floor(F.col("_vx") / cell_deg), F.floor(F.col("_vy") / cell_deg))
+    )
+    inside_pred = _tri_inside(
+        "_vx", "_vy", "_ax1", "_ay1", "_ax2", "_ay2", "_ax3", "_ay3"
+    )
+    inside_pairs = (
+        vc.join(ac, "cell")
+        .filter(F.expr(inside_pred))
+        .groupBy("line_id", "area_id")
+        .agg(F.count("*").alias("_nin"))
+        .filter(F.col("_nin") == 3)
+        .select("line_id", "area_id")
+    )
+
+    return cross_pairs.withColumn("errtype", F.lit("LAINT")).unionByName(
+        inside_pairs.withColumn("errtype", F.lit("LINSIDEA"))
+    )
 
 
 ORACLE_LINE_AREA = f"""
@@ -179,11 +234,7 @@ def q_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ac = _bbox_cells(a, "_a", cell_deg).drop("_minx", "_maxx", "_miny", "_maxy")
     bc = _bbox_cells(b, "_b", cell_deg).drop("_minx", "_maxx", "_miny", "_maxy")
-    pairs = (
-        ac.join(bc, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = ac.join(bc, "cell").filter(F.col("id_a") < F.col("id_b"))
     ea = [
         ("_ax1", "_ay1", "_ax2", "_ay2"),
         ("_ax2", "_ay2", "_ax3", "_ay3"),
@@ -197,8 +248,10 @@ def q_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross = " OR ".join(_seg_cross(*s, *t) for s in ea for t in eb)
     a_in_b = _tri_inside("_ax1", "_ay1", "_bx1", "_by1", "_bx2", "_by2", "_bx3", "_by3")
     b_in_a = _tri_inside("_bx1", "_by1", "_ax1", "_ay1", "_ax2", "_ay2", "_ax3", "_ay3")
-    return pairs.filter(F.expr(f"({cross}) OR {a_in_b} OR {b_in_a}")).select(
-        "id_a", "id_b"
+    return (
+        pairs.filter(F.expr(f"({cross}) OR {a_in_b} OR {b_in_a}"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
