@@ -19,6 +19,7 @@ def all_queries():
         nonsql,
         overlap2,
         overlay,
+        raster2,
         relational,
         textops,
     )
@@ -34,6 +35,7 @@ def all_queries():
         conditionspipe,
         overlay,
         overlap2,
+        raster2,
         checks2,
         checks3,
         networksq,
