@@ -129,12 +129,65 @@ SELECT gx, gy, dif4_decim
 FROM difs WHERE abs(dif4_decim) > {int(4 * SPIKE_TOL_M * 10)}
 """
 
+# --- raster_grid_spikes_global: cross-tile variant ----------------------------
+# The per-tile kernel above skips tile-edge posts; this variant explodes the
+# tiles into a posts relation and finds every spike (incl. across tile seams)
+# with a single neighbor equi-join — the raster analogue of the cross-cell
+# edge-match join the cell partitioning gives for free.
+def q_raster_grid_spikes_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = build_raster_tiles(spark)
+    posts = tiles.selectExpr(
+        "tx", "ty", "posexplode(elevs) AS (k, e)"
+    ).selectExpr(
+        f"CAST(tx AS BIGINT) * {POSTS} + k % {POSTS} AS gx",
+        f"CAST(ty AS BIGINT) * {POSTS} + k DIV {POSTS} AS gy",
+        "CAST(e * 10.0 AS BIGINT) AS ed",
+    )
+    nb = posts.selectExpr("gx AS nx", "gy AS ny", "ed AS ned")
+    # neighbor offsets exploded from the center post
+    center = posts.selectExpr(
+        "gx", "gy", "ed",
+        "explode(array(struct(gx - 1 AS nx, gy AS ny), struct(gx + 1 AS nx, gy AS ny),"
+        " struct(gx AS nx, gy - 1 AS ny), struct(gx AS nx, gy + 1 AS ny))) AS n",
+    ).selectExpr("gx", "gy", "ed", "n.nx AS nx", "n.ny AS ny")
+    joined = center.join(nb, ["nx", "ny"])
+    agg = (
+        joined.groupBy("gx", "gy", "ed")
+        .agg(F.count("*").alias("_n"), F.sum("ned").alias("_nsum"))
+        .filter(F.col("_n") == 4)  # interior of the mosaic only
+        .selectExpr("gx", "gy", "4 * ed - _nsum AS dif4_decim")
+        .filter(F.expr(f"abs(dif4_decim) > {int(4 * SPIKE_TOL_M * 10)}"))
+    )
+    return agg
+
+
+ORACLE_GRID_SPIKES_GLOBAL = f"""
+WITH posts AS (
+  SELECT gx.gx, gy.gy
+  FROM (SELECT unnest(range(0, {NTILES * POSTS})) AS gx) gx,
+       (SELECT unnest(range(0, {NTILES * POSTS})) AS gy) gy
+  WHERE gx.gx NOT IN (0, {NTILES * POSTS - 1})
+    AND gy.gy NOT IN (0, {NTILES * POSTS - 1})
+),
+difs AS (
+  SELECT gx, gy,
+         4 * {_e('gx', 'gy')}
+         - ({_e('gx', 'gy - 1')} + {_e('gx', 'gy + 1')}
+            + {_e('gx - 1', 'gy')} + {_e('gx + 1', 'gy')}) AS dif4_decim
+  FROM posts
+)
+SELECT gx, gy, dif4_decim
+FROM difs WHERE abs(dif4_decim) > {int(4 * SPIKE_TOL_M * 10)}
+"""
+
 QUERIES = {
     "raster_tile_stats": q_raster_tile_stats,
     "raster_grid_spikes": q_raster_grid_spikes,
+    "raster_grid_spikes_global": q_raster_grid_spikes_global,
 }
 
 ORACLES = {
     "raster_tile_stats": ORACLE_TILE_STATS,
     "raster_grid_spikes": ORACLE_GRID_SPIKES,
+    "raster_grid_spikes_global": ORACLE_GRID_SPIKES_GLOBAL,
 }
