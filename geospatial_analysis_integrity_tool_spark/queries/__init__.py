@@ -11,6 +11,7 @@ def all_queries():
         checks2,
         checks3,
         conditionspipe,
+        coverage2,
         embeddings,
         geometry,
         metadataq,
@@ -36,6 +37,7 @@ def all_queries():
         overlay,
         overlap2,
         raster2,
+        coverage2,
         checks2,
         checks3,
         networksq,
