@@ -59,5 +59,115 @@ FROM comp c JOIN sizes s USING (component_id)
 """
 
 
-QUERIES = {"geo_network_components": q_network_components}
-ORACLES = {"geo_network_components": ORACLE_NETWORK_COMPONENTS}
+# --- geo_network_near_miss (EXTRA_NET 50) -------------------------------------
+# endpoints of DIFFERENT connected components within tolerance: the two
+# networks nearly touch but don't — GAIT's inter-network proximity check
+# (PerformTransitiveChecks moregeomchecks.c:2854 family).
+NEAR_MISS_TOL_M = 5.0
+
+
+def q_network_near_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geodesy import sql_dist_m
+    from ..operators.pip import cell_id
+
+    register_geo_views(spark, sf_dir)
+    lines = spark.table("geo_lines")
+    comp = connected_components(lines).withColumnRenamed("line_id", "cid_line")
+    starts = lines.selectExpr("line_id", "x1 AS ex", "y1 AS ey")
+    ends = lines.selectExpr("line_id", "x3 AS ex", "y3 AS ey")
+    endpoints = starts.unionByName(ends).join(
+        comp, F.col("line_id") == F.col("cid_line")
+    ).select("line_id", "ex", "ey", "component_id")
+
+    cell_deg = 0.0001
+    left = endpoints.withColumn(
+        "cell", cell_id(F.floor(F.col("ex") / cell_deg), F.floor(F.col("ey") / cell_deg))
+    ).select(
+        F.col("line_id").alias("line_a"),
+        F.col("ex").alias("_xa"),
+        F.col("ey").alias("_ya"),
+        F.col("component_id").alias("comp_a"),
+        "cell",
+    )
+    one = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    right = (
+        endpoints.select(
+            F.col("line_id").alias("line_b"),
+            F.col("ex").alias("_xb"),
+            F.col("ey").alias("_yb"),
+            F.col("component_id").alias("comp_b"),
+        )
+        .withColumn("_dx", F.explode(one))
+        .withColumn("_dy", F.explode(one))
+        .withColumn(
+            "cell",
+            cell_id(
+                F.floor(F.col("_xb") / cell_deg) + F.col("_dx"),
+                F.floor(F.col("_yb") / cell_deg) + F.col("_dy"),
+            ),
+        )
+        .drop("_dx", "_dy")
+    )
+    d = F.expr(sql_dist_m("_xa", "_ya", "_xb", "_yb"))
+    return (
+        left.join(right, "cell")
+        .filter(F.col("comp_a") < F.col("comp_b"))
+        .withColumn("_d", d)
+        .filter(F.col("_d") < F.lit(NEAR_MISS_TOL_M))
+        .select("comp_a", "comp_b", "line_a", "line_b")
+        .dropDuplicates(["comp_a", "comp_b", "line_a", "line_b"])
+    )
+
+
+from ..functions.geodesy import sql_dist_m as _sdm  # noqa: E402
+
+_NM_D = _sdm("a.ex", "a.ey", "b.ex", "b.ey")
+ORACLE_NETWORK_NEAR_MISS = f"""
+WITH RECURSIVE geo_lines AS ({GEO_VIEWS['geo_lines']}),
+nodes AS (
+  SELECT line_id,
+         CAST(floor(x1 * 1000000.0) AS BIGINT) * 1000000000
+         + CAST(floor(y1 * 1000000.0) AS BIGINT) AS node_key
+  FROM geo_lines
+  UNION ALL
+  SELECT line_id,
+         CAST(floor(x3 * 1000000.0) AS BIGINT) * 1000000000
+         + CAST(floor(y3 * 1000000.0) AS BIGINT)
+  FROM geo_lines
+),
+edges AS (
+  SELECT DISTINCT l.line_id AS a, r.line_id AS b
+  FROM nodes l JOIN nodes r ON l.node_key = r.node_key AND l.line_id <> r.line_id
+),
+reach AS (
+  SELECT line_id AS a, line_id AS b FROM geo_lines
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS line_id, MIN(b) AS component_id FROM reach GROUP BY a
+),
+endpoints AS (
+  SELECT g.line_id, g.x1 AS ex, g.y1 AS ey, c.component_id
+  FROM geo_lines g JOIN comp c USING (line_id)
+  UNION ALL
+  SELECT g.line_id, g.x3, g.y3, c.component_id
+  FROM geo_lines g JOIN comp c USING (line_id)
+)
+SELECT DISTINCT a.component_id AS comp_a, b.component_id AS comp_b,
+       a.line_id AS line_a, b.line_id AS line_b
+FROM endpoints a JOIN endpoints b
+  ON a.component_id < b.component_id
+ AND b.ex BETWEEN a.ex - 0.001 AND a.ex + 0.001
+ AND b.ey BETWEEN a.ey - 0.001 AND a.ey + 0.001
+WHERE {_NM_D} < {NEAR_MISS_TOL_M}
+"""
+
+QUERIES = {
+    "geo_network_components": q_network_components,
+    "geo_network_near_miss": q_network_near_miss,
+}
+ORACLES = {
+    "geo_network_components": ORACLE_NETWORK_COMPONENTS,
+    "geo_network_near_miss": ORACLE_NETWORK_NEAR_MISS,
+}
