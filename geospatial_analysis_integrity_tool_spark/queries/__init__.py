@@ -22,6 +22,7 @@ def all_queries():
         overlay,
         raster2,
         relational,
+        uomq,
         textops,
     )
 
@@ -43,6 +44,7 @@ def all_queries():
         networksq,
         metadataq,
         misc,
+        uomq,
         nonsql,
     ):
         q.update(mod.QUERIES)
