@@ -57,13 +57,32 @@ def line_adjacency(nodes: DataFrame) -> DataFrame:
 def connected_components(
     lines: DataFrame,
     id_col: str = "line_id",
-    max_iter: int = 20,
+    max_iter: int = 48,
 ) -> DataFrame:
-    """(line_id, component_id) with component_id = min line id in component."""
+    """(line_id, component_id) with component_id = min line id in component.
+
+    Min-label propagation **with pointer doubling**: each round takes the min
+    over (a) neighbors' labels and (b) the label of the current label
+    (label chasing).  Doubling halves the remaining label distance every
+    round, so convergence is O(log diameter) — a continental road network
+    with diameter in the thousands finishes in ~12 rounds, where plain
+    one-hop propagation (the previous implementation) needed thousands.
+
+    Each round materializes via ``localCheckpoint`` (truncates lineage — the
+    plan would otherwise grow superlinearly) and the convergence test is one
+    cheap ``isEmpty``-style action on the changed set.  If ``max_iter``
+    rounds do not converge the function RAISES instead of silently returning
+    partial labels (the default 48 covers diameter ~2^48).
+
+    Reference: InitializeBucketsOfTransNets / PropagateTransitiveCounters,
+    moregeomchecks.c:2749-2854.
+    """
     nodes = endpoint_nodes(lines, id_col)
-    edges = line_adjacency(nodes).cache()
-    labels = lines.select(F.col(id_col).alias("line_id")).withColumn(
-        "label", F.col("line_id")
+    edges = line_adjacency(nodes).localCheckpoint(eager=False)
+    labels = (
+        lines.select(F.col(id_col).alias("line_id"))
+        .withColumn("label", F.col("line_id"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neigh = (
@@ -72,15 +91,30 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("a", "line_id")
         )
+        # pointer doubling: the label of my current label
+        chased = (
+            labels.select(F.col("line_id"), F.col("label").alias("_l"))
+            .join(
+                labels.select(
+                    F.col("line_id").alias("_l"), F.col("label").alias("llabel")
+                ),
+                "_l",
+            )
+            .select("line_id", "llabel")
+        )
         new_labels = (
             labels.join(neigh, "line_id", "left")
+            .join(chased, "line_id", "left")
             .select(
                 "line_id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nlabel"), F.col("label")),
+                    F.coalesce(F.col("llabel"), F.col("label")),
+                ).alias("label"),
             )
-        ).cache()
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "line_id")
@@ -88,12 +122,13 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
-            break
-    edges.unpersist()
-    return labels.withColumnRenamed("label", "component_id")
+            return labels.withColumnRenamed("label", "component_id")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter > 2^max_iter?) — refusing to return partial labels"
+    )
 
 
 def component_stats(components: DataFrame) -> DataFrame:

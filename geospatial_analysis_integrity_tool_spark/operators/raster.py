@@ -44,13 +44,23 @@ def overlay_sample_exact(
         .withColumn(
             "gy", F.expr(f"CAST(floor(({lat} - {y_origin}) / {post_deg}) AS BIGINT)")
         )
-        .withColumn("tx", F.expr(f"CAST(gx DIV {posts_per_tile} AS INT)"))
-        .withColumn("ty", F.expr(f"CAST(gy DIV {posts_per_tile} AS INT)"))
+        # floor-division (not DIV, which truncates toward zero): points
+        # south/west of the raster origin get negative gx/gy and must map to
+        # tile -1, which the tiles join then drops — never a wrong tile.
+        .withColumn(
+            "tx",
+            F.expr(f"CAST(floor(CAST(gx AS DOUBLE) / {posts_per_tile}) AS INT)"),
+        )
+        .withColumn(
+            "ty",
+            F.expr(f"CAST(floor(CAST(gy AS DOUBLE) / {posts_per_tile}) AS INT)"),
+        )
     )
     joined = p.join(F.broadcast(tiles.select("tx", "ty", "elevs")), ["tx", "ty"])
+    # pmod keeps in-tile offsets non-negative for any hemisphere
     idx = (
-        f"(CAST(gy % {posts_per_tile} AS INT) * {posts_per_tile}"
-        f" + CAST(gx % {posts_per_tile} AS INT))"
+        f"(CAST(pmod(gy, {posts_per_tile}) AS INT) * {posts_per_tile}"
+        f" + CAST(pmod(gx, {posts_per_tile}) AS INT))"
     )
     return joined.withColumn("elev", F.expr(f"element_at(elevs, {idx} + 1)")).drop(
         "elevs"

@@ -78,9 +78,14 @@ def run_stage_checkpointed(
         .collect()
     )
     if stats:
+        # Exactly-once per partition key: dynamic partition OVERWRITE, so a
+        # crash between the parquet write and write_manifest (or a partially
+        # committed job) leaves partitions that the next run REPLACES rather
+        # than appends to — no duplicate rows on resume.
         (
             remaining.repartition(F.col(partition_col))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(out_dir)
         )

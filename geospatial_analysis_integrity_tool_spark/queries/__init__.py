@@ -18,12 +18,12 @@ def all_queries():
         misc,
         networksq,
         nonsql,
-        overlap2,
         overlay,
         raster2,
         relational,
         uomq,
         textops,
+        vgeomq,
     )
 
     q: dict = {}
@@ -36,7 +36,7 @@ def all_queries():
         attrchecks,
         conditionspipe,
         overlay,
-        overlap2,
+        vgeomq,
         raster2,
         coverage2,
         checks2,

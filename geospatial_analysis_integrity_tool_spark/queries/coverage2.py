@@ -141,20 +141,24 @@ FROM difs
 
 
 def q_pseudo_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.intersections import line_intersections
+    """Pseudo-node candidates (AddPseudoNodesAtIntersections
+    moregeomchecks.c:4354): per-line count of proper crossings — runs on the
+    variable-vertex fixture via the array-native intersection operator."""
+    from ..operators.intersections import line_intersections, vertices_to_lines
 
     register_geo_views(spark, sf_dir)
-    x = line_intersections(spark.table("geo_lines"), n_vertices=3)
+    lines = vertices_to_lines(spark.table("geo_vlines"))
+    x = line_intersections(lines, cell_deg=0.01)
     both = x.select(F.col("id_a").alias("line_id")).unionAll(
         x.select(F.col("id_b").alias("line_id"))
     )
     return both.groupBy("line_id").agg(F.count("*").alias("n_pseudo_nodes"))
 
 
-from .overlay import ORACLE_LLINT  # noqa: E402
+from .vgeomq import ORACLE_LLINT_V  # noqa: E402
 
 ORACLE_PSEUDO_NODES = f"""
-WITH llint AS ({ORACLE_LLINT}),
+WITH llint AS ({ORACLE_LLINT_V}),
 both_sides AS (
   SELECT id_a AS line_id FROM llint
   UNION ALL

@@ -79,7 +79,23 @@ def q_network_near_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp, F.col("line_id") == F.col("cid_line")
     ).select("line_id", "ex", "ey", "component_id")
 
-    cell_deg = 0.0001
+    # Cell width derived from the worst-case latitude in the data: one cell
+    # of longitude must span >= the tolerance, or qualifying pairs can land
+    # 2+ cells apart above ~63 deg latitude and be silently missed by the
+    # 3x3 k-ring.  (Same derivation as point_proximity_pairs.)
+    import math
+
+    max_abs_lat = (
+        lines.agg(
+            F.max(F.greatest(F.abs(F.col("y1")), F.abs(F.col("y3"))))
+        ).first()[0]
+        or 0.0
+    )
+    cell_deg = (
+        NEAR_MISS_TOL_M
+        / (111319.5 * math.cos(math.radians(min(abs(max_abs_lat), 89.0))))
+        * 1.001
+    )
     left = endpoints.withColumn(
         "cell", cell_id(F.floor(F.col("ex") / cell_deg), F.floor(F.col("ey") / cell_deg))
     ).select(

@@ -1,9 +1,6 @@
-"""LLINT line-intersection join + raster<->vector overlay queries (both named
-in the north star) with independent DuckDB oracles.
+"""Raster<->vector overlay queries (named in the north star) with independent
+DuckDB oracles.
 
-* geo_line_intersections — engine: segment explode + cell join + JVM
-  orientation tests (operators/intersections.py).  Oracle: segment UNION +
-  bbox-range join + the same shared predicate text.
 * raster_point_grid_dif — engine: tiles table (elevs arrays) + overlay equi-
   join + element_at post sampling (operators/raster.py).  Oracle: closed-form
   elevation formula, no arrays — an independent derivation of the same posts,
@@ -15,52 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.intersections import (
-    line_intersections,
-    sql_intersection_xy,
-    sql_proper_cross,
-)
 from ..operators.raster import overlay_sample_exact
 from ..sources.synthetic import oracle_cte, register_geo_views
-
-# --- geo_line_intersections (LLINT 118) ---------------------------------------
-
-
-def q_line_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_geo_views(spark, sf_dir)
-    return line_intersections(spark.table("geo_lines"), n_vertices=3)
-
-
-_IX, _IY = sql_intersection_xy()
-ORACLE_LLINT = f"""
-{oracle_cte('geo_lines')},
-segs AS (
-  SELECT line_id, 1 AS seg_idx, x1 AS sax, y1 AS say, x2 AS sbx, y2 AS sby,
-         LEAST(x1, x2) AS mnx, GREATEST(x1, x2) AS mxx,
-         LEAST(y1, y2) AS mny, GREATEST(y1, y2) AS mxy
-  FROM geo_lines
-  UNION ALL
-  SELECT line_id, 2, x2, y2, x3, y3,
-         LEAST(x2, x3), GREATEST(x2, x3), LEAST(y2, y3), GREATEST(y2, y3)
-  FROM geo_lines
-),
-pairs AS (
-  SELECT a.line_id AS id_a, b.line_id AS id_b,
-         a.seg_idx AS seg_a, b.seg_idx AS seg_b,
-         a.sax AS _ax, a.say AS _ay, a.sbx AS _bx, a.sby AS _by,
-         b.sax AS _cx, b.say AS _cy, b.sbx AS _dx, b.sby AS _dy
-  FROM segs a JOIN segs b
-    ON a.line_id < b.line_id
-   AND a.mnx <= b.mxx AND a.mxx >= b.mnx
-   AND a.mny <= b.mxy AND a.mxy >= b.mny
-)
-SELECT id_a, id_b, seg_a, seg_b,
-       CAST(floor({_IX} * 1000000.0) AS BIGINT) AS ix_udeg,
-       CAST(floor({_IY} * 1000000.0) AS BIGINT) AS iy_udeg
-FROM pairs
-WHERE {sql_proper_cross()}
-"""
-
 
 # --- raster_point_grid_dif (PT_GRID_DIF 198) ----------------------------------
 
@@ -140,11 +93,9 @@ FROM zz WHERE abs(z - elev) > {DIF_TOL_M}
 
 
 QUERIES = {
-    "geo_line_intersections": q_line_intersections,
     "raster_point_grid_dif": q_raster_point_grid_dif,
 }
 
 ORACLES = {
-    "geo_line_intersections": ORACLE_LLINT,
     "raster_point_grid_dif": ORACLE_PT_GRID_DIF,
 }

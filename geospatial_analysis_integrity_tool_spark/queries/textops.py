@@ -100,7 +100,18 @@ HAVING COUNT(*) > 1
 """
 
 
-# --- dedup_ngram_jaccard (3-gram shingle Jaccard >= 0.5) ----------------------
+# --- dedup_ngram_jaccard (3-gram shingle Jaccard >= 0.5, DF-capped) -----------
+#
+# Candidate pairs come ONLY from shingles with document frequency <=
+# SHINGLE_DF_CAP: a stop-shingle appearing in k docs would otherwise emit k^2
+# pairs — quadratic on web text (the round-1 scale-killer).  The exact Jaccard
+# is then computed over the FULL shingle sets, but only for candidate pairs,
+# so per-pair work is linear in document size.  Pairs whose every common
+# shingle is hot are not reported — the declared (and oracle-mirrored)
+# semantics of the DF-capped operator.
+SHINGLE_DF_CAP = 20
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     aug = _docs_aug(spark)
@@ -110,11 +121,27 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= SHINGLE_DF_CAP)
+        .select("shingle"),
+        "shingle",
+    )
+    cand = (
+        rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact common-shingle count, restricted to candidate pairs
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -139,10 +166,20 @@ ORACLE_DEDUP_JACCARD = f"""
 WITH {_DOCS_AUG_SQL.strip()},
 shingles AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_DUCK})),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+rare AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY 1
+        HAVING COUNT(*) <= {SHINGLE_DF_CAP}) r USING (shingle)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -1,20 +1,23 @@
 """Minimal ESRI shapefile (.shp) reader/writer — the reference's primary
-input format (embedded shapelib: shpopen.c; import driver shape_import.c).
+input format (embedded shapelib: shpopen.c; import driver shape_import.c,
+type dispatch shape_import.c:8863-9009).
 
-Implements the public SHP spec (ESRI whitepaper) for the two shape types the
-fixtures need — Point (1) and PolyLine (3) — with no external libraries:
+Implements the public SHP spec (ESRI whitepaper) with no external libraries:
 
-* ``write_point_shp`` / ``write_polyline_shp`` — fixture writers (pure
-  struct packing; big-endian record headers, little-endian payloads).
+* shape types: Point (1), PolyLine (3), Polygon (5), PointZ (11),
+  PolyLineZ (13), PolygonZ (15), PointM (21), PolyLineM (23), PolygonM (25);
+  null shapes (0).  M (measure) values are skipped — GAIT ignores them too.
+* **multi-part handling**: each part (polyline part / polygon ring) becomes
+  its OWN output row ``(source, recno, part, shape_type, xs, ys, zs)`` —
+  flattening parts would add phantom segments connecting part ends, feeding
+  false segments into SEGLEN/LOOPS/intersection checks (the reference splits
+  multiparts at import: ShapeWriteArealLinear shape_import.c:4484).
 * ``read_shp`` — the distributed path: ``spark.read.format("binaryFile")``
   over a glob, then an Arrow-batched kernel parses each file's bytes with
-  numpy ``frombuffer`` into feature rows (file, record number, shape type,
-  xs, ys).  One task per file — shapefiles are bounded (2 GB by format), so
-  per-file parallelism matches GAIT's per-layer ingest (SHAPE_IGNORE_LIMIT
-  share_linux.h:134 caps layer size similarly).
-
-This is a subset reader (no .shx/.dbf, no M/Z variants); the graft's primary
-source is the pages table — this exists for §2.1 format parity.
+  numpy ``frombuffer`` into feature rows.  One task per file — shapefiles
+  are bounded (2 GB by format), so per-file parallelism matches GAIT's
+  per-layer ingest (SHAPE_IGNORE_LIMIT share_linux.h:134 caps layer size
+  similarly).
 """
 
 from __future__ import annotations
@@ -26,8 +29,26 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+SHPT_NULL = 0
 SHPT_POINT = 1
 SHPT_POLYLINE = 3
+SHPT_POLYGON = 5
+SHPT_POINTZ = 11
+SHPT_POLYLINEZ = 13
+SHPT_POLYGONZ = 15
+SHPT_POINTM = 21
+SHPT_POLYLINEM = 23
+SHPT_POLYGONM = 25
+
+_POLY_TYPES = {
+    SHPT_POLYLINE,
+    SHPT_POLYGON,
+    SHPT_POLYLINEZ,
+    SHPT_POLYGONZ,
+    SHPT_POLYLINEM,
+    SHPT_POLYGONM,
+}
+_Z_TYPES = {SHPT_POINTZ, SHPT_POLYLINEZ, SHPT_POLYGONZ}
 
 
 def _header(shape_type: int, total_words: int, bbox: tuple[float, float, float, float]) -> bytes:
@@ -54,32 +75,67 @@ def write_point_shp(path: str, points: list[tuple[float, float]]) -> None:
         f.write(records)
 
 
-def write_polyline_shp(path: str, lines: list[list[tuple[float, float]]]) -> None:
+def write_multipart_shp(
+    path: str,
+    shape_type: int,
+    shapes: list[list[list[tuple[float, ...]]]],
+) -> None:
+    """Write PolyLine/Polygon (optionally Z): shapes[i] = list of parts, each
+    part a list of (x, y) or (x, y, z) vertex tuples."""
+    has_z = shape_type in _Z_TYPES
     records = b""
-    allx = [x for ln in lines for x, _ in ln] or [0.0]
-    ally = [y for ln in lines for _, y in ln] or [0.0]
-    for i, ln in enumerate(lines, 1):
-        xs = [x for x, _ in ln]
-        ys = [y for _, y in ln]
+    allx, ally = [0.0], [0.0]
+    for i, parts in enumerate(shapes, 1):
+        pts = [p for part in parts for p in part]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        allx += xs
+        ally += ys
         content = struct.pack(
-            "<i4dii", SHPT_POLYLINE, min(xs), min(ys), max(xs), max(ys), 1, len(ln)
+            "<i4dii",
+            shape_type,
+            min(xs), min(ys), max(xs), max(ys),
+            len(parts), len(pts),
         )
-        content += struct.pack("<i", 0)  # single part starting at 0
-        for x, y in ln:
-            content += struct.pack("<2d", x, y)
+        off = 0
+        for part in parts:
+            content += struct.pack("<i", off)
+            off += len(part)
+        for p in pts:
+            content += struct.pack("<2d", p[0], p[1])
+        if has_z:
+            zs = [p[2] for p in pts]
+            content += struct.pack("<2d", min(zs), max(zs))
+            for z in zs:
+                content += struct.pack("<d", z)
         records += struct.pack(">ii", i, len(content) // 2) + content
     total_words = (100 + len(records)) // 2
     with open(path, "wb") as f:
         f.write(
             _header(
-                SHPT_POLYLINE, total_words, (min(allx), min(ally), max(allx), max(ally))
+                shape_type, total_words,
+                (min(allx), min(ally), max(allx), max(ally)),
             )
         )
         f.write(records)
 
 
+def write_polyline_shp(path: str, lines: list[list[tuple[float, float]]]) -> None:
+    """Single-part polylines (back-compat fixture writer)."""
+    write_multipart_shp(path, SHPT_POLYLINE, [[ln] for ln in lines])
+
+
+def write_polygon_shp(path: str, polygons: list[list[list[tuple[float, float]]]]) -> None:
+    """Polygons with rings: polygons[i] = [outer_ring, hole_ring, ...]."""
+    write_multipart_shp(path, SHPT_POLYGON, polygons)
+
+
 def parse_shp_bytes(data: bytes, source: str) -> pd.DataFrame:
-    """One .shp file -> rows (source, recno, shape_type, xs, ys)."""
+    """One .shp file -> rows (source, recno, part, shape_type, xs, ys, zs).
+
+    Multi-part shapes emit one row per part (never flattened); M values are
+    skipped; Z values fill zs (empty for 2D types).
+    """
     if len(data) < 100 or struct.unpack(">i", data[:4])[0] != 9994:
         raise ValueError(f"{source}: not a shapefile (bad file code)")
     rows = []
@@ -93,29 +149,49 @@ def parse_shp_bytes(data: bytes, source: str) -> pd.DataFrame:
         if len(content) < 4:
             break
         stype = struct.unpack("<i", content[:4])[0]
-        if stype == SHPT_POINT:
+        if stype == SHPT_NULL:
+            rows.append((source, recno, 0, stype, [], [], []))
+        elif stype in (SHPT_POINT, SHPT_POINTM):
             x, y = struct.unpack("<2d", content[4:20])
-            rows.append((source, recno, stype, [x], [y]))
-        elif stype == SHPT_POLYLINE:
+            rows.append((source, recno, 0, stype, [x], [y], []))
+        elif stype == SHPT_POINTZ:
+            x, y, z = struct.unpack("<3d", content[4:28])
+            rows.append((source, recno, 0, stype, [x], [y], [z]))
+        elif stype in _POLY_TYPES:
             numparts, numpoints = struct.unpack("<ii", content[36:44])
+            parts = np.frombuffer(content, dtype="<i4", count=numparts, offset=44)
             pts_off = 44 + 4 * numparts
             pts = np.frombuffer(
                 content, dtype="<f8", count=2 * numpoints, offset=pts_off
             ).reshape(numpoints, 2)
-            rows.append(
-                (source, recno, stype, pts[:, 0].tolist(), pts[:, 1].tolist())
-            )
-        elif stype == 0:  # null shape
-            rows.append((source, recno, stype, [], []))
+            zvals = None
+            if stype in _Z_TYPES:
+                z_off = pts_off + 16 * numpoints + 16  # skip zmin/zmax
+                zvals = np.frombuffer(content, dtype="<f8", count=numpoints, offset=z_off)
+            bounds = list(parts) + [numpoints]
+            for p in range(numparts):
+                lo, hi = bounds[p], bounds[p + 1]
+                rows.append(
+                    (
+                        source,
+                        recno,
+                        p,
+                        stype,
+                        pts[lo:hi, 0].tolist(),
+                        pts[lo:hi, 1].tolist(),
+                        zvals[lo:hi].tolist() if zvals is not None else [],
+                    )
+                )
         else:
             raise ValueError(f"{source}: unsupported shape type {stype}")
     return pd.DataFrame(
-        rows, columns=["source", "recno", "shape_type", "xs", "ys"]
+        rows, columns=["source", "recno", "part", "shape_type", "xs", "ys", "zs"]
     )
 
 
 SHP_SCHEMA = (
-    "source string, recno int, shape_type int, xs array<double>, ys array<double>"
+    "source string, recno int, part int, shape_type int,"
+    " xs array<double>, ys array<double>, zs array<double>"
 )
 
 
@@ -129,3 +205,98 @@ def read_shp(spark: SparkSession, path_glob: str) -> DataFrame:
                 yield parse_shp_bytes(bytes(row["content"]), row["path"])
 
     return files.select("path", "content").mapInPandas(run, schema=SHP_SCHEMA)
+
+
+# --- .dbf attribute tables (dbfopen.c; public Xbase DBF layout) ----------------
+
+
+def write_dbf(
+    path: str,
+    fields: list[tuple[str, str, int, int]],
+    records: list[tuple],
+) -> None:
+    """Write a dBASE III .dbf: fields = [(name<=10, type C/N/F/L/D, len, dec)].
+
+    Values are rendered fixed-width ASCII exactly as shapelib's DBFWrite*
+    family does (left-justified C, right-justified N).
+    """
+    hdr_size = 32 + 32 * len(fields) + 1
+    rec_size = 1 + sum(f[2] for f in fields)
+    out = bytearray()
+    out += struct.pack(
+        "<B3BIHH20x", 0x03, 95, 7, 26, len(records), hdr_size, rec_size
+    )
+    for name, ftype, flen, fdec in fields:
+        out += struct.pack(
+            "<11sc4xBB14x", name.encode()[:10].ljust(11, b"\x00"),
+            ftype.encode(), flen, fdec,
+        )
+    out += b"\x0d"
+    for rec in records:
+        out += b" "  # not deleted
+        for (name, ftype, flen, fdec), val in zip(fields, rec):
+            if val is None:
+                s = b" " * flen
+            elif ftype == "C":
+                s = str(val).encode()[:flen].ljust(flen, b" ")
+            elif ftype in ("N", "F"):
+                s = (f"%{flen}.{fdec}f" % float(val)).encode()[-flen:] if fdec else (
+                    f"%{flen}d" % int(val)
+                ).encode()[-flen:]
+            elif ftype == "L":
+                s = (b"T" if val else b"F").ljust(flen, b" ")
+            else:
+                s = str(val).encode()[:flen].ljust(flen, b" ")
+            out += s
+    out += b"\x1a"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def parse_dbf_bytes(data: bytes, source: str) -> pd.DataFrame:
+    """One .dbf file -> long-form rows (source, recno, attr, dtype, value).
+
+    Typed values stay as trimmed strings (the attrs-long form casts them
+    downstream exactly like GAIT's long_attr_list carries Cvalue alongside
+    Ivalue/Dvalue, share_linux.h:898-919).
+    """
+    if len(data) < 32 or data[0] not in (0x03, 0x83):
+        raise ValueError(f"{source}: not a dBASE III .dbf")
+    nrec, hdr_size, rec_size = struct.unpack("<IHH", data[4:12])
+    fields = []
+    off = 32
+    while off < hdr_size - 1 and data[off] != 0x0D:
+        name = data[off : off + 11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(data[off + 11])
+        flen = data[off + 16]
+        fields.append((name, ftype, flen))
+        off += 32
+    rows = []
+    base = hdr_size
+    for r in range(nrec):
+        roff = base + r * rec_size
+        if roff + rec_size > len(data):
+            break
+        if data[roff : roff + 1] == b"*":  # deleted record
+            continue
+        coff = roff + 1
+        for name, ftype, flen in fields:
+            raw = data[coff : coff + flen].decode("ascii", "replace").strip()
+            rows.append((source, r + 1, name, ftype, raw))
+            coff += flen
+    return pd.DataFrame(rows, columns=["source", "recno", "attr", "dtype", "value"])
+
+
+DBF_SCHEMA = "source string, recno int, attr string, dtype string, value string"
+
+
+def read_dbf(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed .dbf scan -> long-form attribute rows."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield parse_dbf_bytes(bytes(row["content"]), row["path"])
+
+    return files.select("path", "content").mapInPandas(run, schema=DBF_SCHEMA)

@@ -193,6 +193,95 @@ SELECT
 FROM orders
 """
 
+# --- geo_vlines: orders -> VARIABLE-length polylines (long form) ---------------
+# The reference data model is vertex arrays (RawLinear.x[]/y[]/z[] + numnodes,
+# share_linux.h:751-780); this fixture exercises the general case: 2..50
+# vertices per line.  One row per (line_id, vidx); the engine folds rows into
+# array columns (collect_list) mirroring RawLinear, the oracle keeps long form.
+#
+# Geometry: a zigzag walk (closed-form triangle waves in x and y with
+# different periods -> self-intersecting "Lissajous" polylines) plus a small
+# monotone drift.  Planted defects:
+#   * every line with key % 101 == 0 gets a 0.3-deg jump on its LAST segment
+#     (the giant-segment skew path of operators/intersections.py);
+#   * key % 61 == 0 plants a z spike at one mid vertex (Z_KINK fixture);
+# All arithmetic is integer modulo -> CAST -> division by exact literals, so
+# Spark and DuckDB agree to the last bit.
+GEO_VLINES_SQL = """
+SELECT
+  o_orderkey                                          AS line_id,
+  k                                                   AS vidx,
+  CAST((o_orderkey * 487) % 4000 AS DOUBLE) / 1000.0 + 10.0
+    + CAST((1 + (o_orderkey % 7))
+           * abs((k % (2 * (3 + (o_orderkey % 5)))) - (3 + (o_orderkey % 5)))
+           AS DOUBLE) / 1000.0
+    + CAST(k AS DOUBLE) / 50000.0
+    + CASE WHEN (o_orderkey % 101) = 0 AND k = 1 + (o_orderkey % 49)
+           THEN 0.3 ELSE 0.0 END                      AS x,
+  CAST((o_orderkey * 257) % 4000 AS DOUBLE) / 1000.0 + 40.0
+    + CAST((1 + (o_orderkey % 9))
+           * abs(((k + 2) % (2 * (4 + (o_orderkey % 7)))) - (4 + (o_orderkey % 7)))
+           AS DOUBLE) / 1000.0
+    + CAST(k AS DOUBLE) / 40000.0                     AS y,
+  CAST(((o_orderkey * 89) + (k * 37)) % 300 AS DOUBLE) / 10.0
+    + CASE WHEN (o_orderkey % 61) = 0
+                AND (2 * k) = (2 + (o_orderkey % 49) - ((o_orderkey % 49) % 2))
+           THEN 80.0 ELSE 0.0 END                     AS z
+FROM orders
+CROSS JOIN (SELECT CAST(c_custkey AS BIGINT) AS k
+            FROM customer WHERE c_custkey < 50) nums
+WHERE k < 2 + (o_orderkey % 49)
+"""
+
+# --- geo_vareas: orders -> variable-vertex polygons with optional hole ring ----
+# Outer ring (ring=0): an x-monotone "band" polygon — a bottom chain of nb
+# vertices left->right with y-jitter, then a top chain of nt vertices
+# right->left at y0+h (simple by construction; 4..10 vertices).  Every 6th
+# area carries a rectangular hole ring (ring=1, 4 vertices) — the ">= 1 ring"
+# case of RawAreal/AreaAndHoles (share_linux.h:310-330).  Even-odd ray-cast
+# parity over ALL ring edges gives hole-aware containment in plain SQL.
+GEO_VAREAS_SQL = """
+SELECT
+  o_orderkey                                          AS area_id,
+  0                                                   AS ring,
+  k                                                   AS vidx,
+  CASE WHEN k < 2 + (o_orderkey % 4)
+       THEN CAST((o_orderkey * 719) % 4000 AS DOUBLE) / 1000.0 + 10.0
+            + CAST(2 + (o_orderkey % 6) AS DOUBLE) / 1000.0
+              * CAST(k AS DOUBLE) / CAST(1 + (o_orderkey % 4) AS DOUBLE)
+       ELSE CAST((o_orderkey * 719) % 4000 AS DOUBLE) / 1000.0 + 10.0
+            + CAST(2 + (o_orderkey % 6) AS DOUBLE) / 1000.0
+              * CAST(1 + ((o_orderkey * 3) % 4) - (k - (2 + (o_orderkey % 4))) AS DOUBLE)
+              / CAST(1 + ((o_orderkey * 3) % 4) AS DOUBLE)
+       END                                            AS x,
+  CASE WHEN k < 2 + (o_orderkey % 4)
+       THEN CAST((o_orderkey * 523) % 4000 AS DOUBLE) / 1000.0 + 40.0
+            + CAST(((o_orderkey * 13) + (k * 29)) % 9 AS DOUBLE) / 10000.0
+       ELSE CAST((o_orderkey * 523) % 4000 AS DOUBLE) / 1000.0 + 40.0
+            + CAST(2 + ((o_orderkey * 5) % 7) AS DOUBLE) / 1000.0
+            + CAST(((o_orderkey * 17) + ((k - (2 + (o_orderkey % 4))) * 31)) % 9 AS DOUBLE) / 10000.0
+       END                                            AS y
+FROM orders
+CROSS JOIN (SELECT CAST(c_custkey AS BIGINT) AS k
+            FROM customer WHERE c_custkey < 50) nums
+WHERE k < (2 + (o_orderkey % 4)) + (2 + ((o_orderkey * 3) % 4))
+UNION ALL
+SELECT
+  o_orderkey                                          AS area_id,
+  1                                                   AS ring,
+  k                                                   AS vidx,
+  CAST((o_orderkey * 719) % 4000 AS DOUBLE) / 1000.0 + 10.0
+    + CAST(2 + (o_orderkey % 6) AS DOUBLE) / 1000.0
+      * CASE WHEN k = 0 OR k = 3 THEN 0.25 ELSE 0.75 END AS x,
+  CAST((o_orderkey * 523) % 4000 AS DOUBLE) / 1000.0 + 40.0
+    + CAST(2 + ((o_orderkey * 5) % 7) AS DOUBLE) / 1000.0
+      * CASE WHEN k < 2 THEN 0.55 ELSE 0.8 END           AS y
+FROM orders
+CROSS JOIN (SELECT CAST(c_custkey AS BIGINT) AS k
+            FROM customer WHERE c_custkey < 4) nums
+WHERE (o_orderkey % 6) = 0
+"""
+
 GEO_VIEWS: dict[str, str] = {
     "geo_points": GEO_POINTS_SQL,
     "geo_zones": GEO_ZONES_SQL,
@@ -201,6 +290,8 @@ GEO_VIEWS: dict[str, str] = {
     "geo_lines_dup": GEO_LINES_DUP_SQL,
     "geo_areas": GEO_AREAS_SQL,
     "geo_edges": GEO_EDGES_SQL,
+    "geo_vlines": GEO_VLINES_SQL,
+    "geo_vareas": GEO_VAREAS_SQL,
 }
 
 

@@ -48,3 +48,41 @@ def test_metadata_xml_planted_violations(spark):
     assert {(2, "META_TRIGRAPH"), (2, "META_EDITION_RNG"), (2, "META_DATE"),
             (2, "META_SECURITY")} <= errs
     assert not any(k == 1 for k, _ in errs)
+
+
+def test_cc_long_path_converges_via_doubling(spark):
+    """A 400-line chain (diameter 400) must converge — plain one-hop
+    propagation with 20 rounds returned wrong labels here."""
+    from geospatial_analysis_integrity_tool_spark.operators.networks import (
+        connected_components,
+    )
+
+    n = 400
+    rows = [
+        (i, 10.0 + i / 1000.0, 40.0, 10.0 + (i + 1) / 1000.0, 40.0)
+        for i in range(n)
+    ]
+    lines = spark.createDataFrame(
+        rows, "line_id long, x1 double, y1 double, x3 double, y3 double"
+    )
+    comp = connected_components(lines).collect()
+    assert len(comp) == n
+    assert {r.component_id for r in comp} == {0}
+
+
+def test_cc_raises_on_exhausted_iterations(spark):
+    import pytest as _pytest
+
+    from geospatial_analysis_integrity_tool_spark.operators.networks import (
+        connected_components,
+    )
+
+    rows = [
+        (i, 10.0 + i / 1000.0, 40.0, 10.0 + (i + 1) / 1000.0, 40.0)
+        for i in range(64)
+    ]
+    lines = spark.createDataFrame(
+        rows, "line_id long, x1 double, y1 double, x3 double, y3 double"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(lines, max_iter=2)

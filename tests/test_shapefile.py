@@ -1,4 +1,4 @@
-"""Shapefile reader round-trip (public SHP spec subset)."""
+"""Shapefile + DBF reader round-trips (public SHP/Xbase spec subset)."""
 
 from __future__ import annotations
 
@@ -46,6 +46,50 @@ def test_shp_polyline_roundtrip_and_mixed_files(spark):
     assert list(zip(roads[1].xs, roads[1].ys)) == lines[1]
 
 
+def test_shp_multipart_split_never_flattened(spark):
+    """A 2-part polyline must yield 2 rows — flattening would add a phantom
+    segment between part ends (feeds false SEGLEN/intersections)."""
+    from geospatial_analysis_integrity_tool_spark.sources.shapefile import (
+        SHPT_POLYLINE,
+        read_shp,
+        write_multipart_shp,
+    )
+
+    d = tempfile.mkdtemp(prefix="gait_shp_")
+    parts = [
+        [(0.0, 0.0), (1.0, 0.0)],
+        [(5.0, 5.0), (6.0, 5.0), (7.0, 5.5)],
+    ]
+    write_multipart_shp(os.path.join(d, "multi.shp"), SHPT_POLYLINE, [parts])
+    rows = sorted(read_shp(spark, d + "/*.shp").collect(), key=lambda r: r.part)
+    assert [(r.recno, r.part) for r in rows] == [(1, 0), (1, 1)]
+    assert list(zip(rows[0].xs, rows[0].ys)) == parts[0]
+    assert list(zip(rows[1].xs, rows[1].ys)) == parts[1]
+
+
+def test_shp_polygon_with_hole_and_z(spark):
+    from geospatial_analysis_integrity_tool_spark.sources.shapefile import (
+        SHPT_POLYLINEZ,
+        read_shp,
+        write_multipart_shp,
+        write_polygon_shp,
+    )
+
+    d = tempfile.mkdtemp(prefix="gait_shp_")
+    outer = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0), (1.0, 1.0)]
+    write_polygon_shp(os.path.join(d, "area.shp"), [[outer, hole]])
+    zline = [[(10.0, 40.0, 100.0), (10.01, 40.0, 105.5)]]
+    write_multipart_shp(os.path.join(d, "zline.shp"), SHPT_POLYLINEZ, [zline])
+
+    rows = read_shp(spark, d + "/*.shp").collect()
+    polys = sorted((r for r in rows if r.shape_type == 5), key=lambda r: r.part)
+    assert [len(p.xs) for p in polys] == [5, 5]
+    assert list(zip(polys[1].xs, polys[1].ys)) == hole
+    zl = [r for r in rows if r.shape_type == SHPT_POLYLINEZ][0]
+    assert zl.zs == [100.0, 105.5]
+
+
 def test_shp_rejects_garbage(spark):
     from geospatial_analysis_integrity_tool_spark.sources.shapefile import (
         parse_shp_bytes,
@@ -53,3 +97,22 @@ def test_shp_rejects_garbage(spark):
 
     with pytest.raises(ValueError, match="bad file code"):
         parse_shp_bytes(b"not a shapefile at all padding padding padding " * 4, "x")
+
+
+def test_dbf_roundtrip(spark):
+    from geospatial_analysis_integrity_tool_spark.sources.shapefile import (
+        read_dbf,
+        write_dbf,
+    )
+
+    d = tempfile.mkdtemp(prefix="gait_dbf_")
+    fields = [("FCODE", "C", 5, 0), ("WID", "N", 8, 0), ("HGT", "N", 10, 2)]
+    recs = [("AP030", 12, 3.5), ("GB005", 7, 11.25), ("BH140", None, 0.0)]
+    write_dbf(os.path.join(d, "attrs.dbf"), fields, recs)
+    rows = read_dbf(spark, d + "/*.dbf").collect()
+    by = {(r.recno, r.attr): (r.dtype, r.value) for r in rows}
+    assert by[(1, "FCODE")] == ("C", "AP030")
+    assert by[(1, "WID")] == ("N", "12")
+    assert by[(2, "HGT")] == ("N", "11.25")
+    assert by[(3, "WID")] == ("N", "")  # NULL -> blank
+    assert len(rows) == 9
