@@ -134,30 +134,48 @@ def cosine_topk_ivf(
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids_, Q_, C_, probes_ = bq.value
+        # invert probes: bucket -> query indexes probing it (tiny, driver data)
+        by_bucket: dict[int, np.ndarray] = {}
+        for b in range(C_.shape[0]):
+            qs = np.nonzero((probes_ == b).any(axis=1))[0]
+            if len(qs):
+                by_bucket[b] = qs
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             ids = pdf[id_col].to_numpy()
             buckets = np.argmax(X @ C_.T, axis=1)
-            S = X @ Q_.T
             rows = []
-            for j in range(S.shape[1]):
-                allowed = np.isin(buckets, probes_[j]) & (ids != q_ids_[j])
-                cand = np.nonzero(allowed)[0]
-                if len(cand) == 0:
+            # matmul per (bucket, probing queries): FLOPs = sum over buckets of
+            # |bucket rows| x |probing queries| x dim — the actual IVF saving;
+            # non-probed rows are never multiplied (the round-1 version
+            # computed the full X @ Q.T and masked afterwards).
+            for b in np.unique(buckets):
+                qs = by_bucket.get(int(b))
+                if qs is None:
                     continue
-                order = np.lexsort((ids[cand], -S[cand, j]))[:k]
-                sel = cand[order]
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(len(sel), q_ids_[j], dtype=np.int64),
-                            "neighbor_id": ids[sel].astype(np.int64),
-                            "cos": S[sel, j],
-                        }
+                ridx = np.nonzero(buckets == b)[0]
+                Sb = X[ridx] @ Q_[qs].T  # (rows_in_bucket, probing_queries)
+                for jj, qj in enumerate(qs):
+                    col = Sb[:, jj]
+                    mask = ids[ridx] != q_ids_[qj]
+                    cidx = np.nonzero(mask)[0]
+                    if len(cidx) == 0:
+                        continue
+                    order = np.lexsort((ids[ridx][cidx], -col[cidx]))[:k]
+                    sel = ridx[cidx[order]]
+                    rows.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    len(sel), q_ids_[qj], dtype=np.int64
+                                ),
+                                "neighbor_id": ids[sel].astype(np.int64),
+                                "cos": col[cidx[order]],
+                            }
+                        )
                     )
-                )
             if rows:
                 yield pd.concat(rows, ignore_index=True)
 
@@ -170,19 +188,135 @@ def cosine_topk_ivf(
     )
 
 
+# --- hyperplane-LSH near-duplicate pairs (the 100 TB default) ------------------
+
+N_HYPERPLANES = 8
+_QUANT = 1024.0  # component quantization for exact integer sign sums
+
+
+def _hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic +-1 hyperplane patterns (multiplicative-hash parity)."""
+    out = []
+    for i in range(n_planes):
+        a = 2 * (i * 2654435761 % 1013) + 3  # odd multiplier per plane
+        out.append([1 if (a * (d + 7)) % 1013 < 507 else -1 for d in range(dim)])
+    return out
+
+
+def signature_sql(elem_fmt: str, dim: int, n_planes: int = N_HYPERPLANES) -> list[str]:
+    """Per-plane sign-bit SQL over quantized components — exact INTEGER
+    arithmetic, so Spark and DuckDB compute identical bits regardless of
+    float accumulation order.  ``elem_fmt`` renders component d (e.g.
+    ``"element_at(embedding, {i})"`` for Spark, ``"embedding[{i}]"`` for
+    DuckDB; {i} is 1-based)."""
+    bits = []
+    for signs in _hyperplane_signs(n_planes, dim):
+        terms = " + ".join(
+            f"({s}) * CAST(floor(CAST({elem_fmt.format(i=d + 1)} AS DOUBLE)"
+            f" * {_QUANT}) AS BIGINT)"
+            for d, s in enumerate(signs)
+        )
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN 1 ELSE 0 END)")
+    return bits
+
+
+def near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket-first near-duplicate pairs: hyperplane signatures -> Hamming-ball
+    multiprobe (radius 1) -> within-bucket exact cosine.  Pure JVM — no UDF,
+    no driver collect, no broadcast of the corpus; the only shuffles are the
+    bucket self-join and the two id joins that fetch vectors for surviving
+    candidate pairs.
+
+    Approximate by design: a pair whose signatures differ in >= 2 bits is not
+    reported (the declared semantics, mirrored by the oracle).  The signature
+    is computed over integer-quantized components so both engines derive
+    bit-identical buckets.
+    """
+    bits = signature_sql("element_at(" + vec_col + ", {i})", dim)
+    sig = " + ".join(f"_b{j} * {1 << j}" for j in range(N_HYPERPLANES))
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        *[F.expr(b).alias(f"_b{j}") for j, b in enumerate(bits)],
+    ).withColumn("_sig", F.expr(sig))
+    probes = F.array(
+        F.col("_sig"),
+        *[
+            F.expr(f"_sig + (1 - 2 * _b{j}) * {1 << j}")
+            for j in range(N_HYPERPLANES)
+        ],
+    )
+    buckets = e.select("_id", F.explode(probes).alias("_bucket"))
+    cand = (
+        buckets.select(F.col("_id").alias("id_a"), "_bucket")
+        .join(buckets.select(F.col("_id").alias("id_b"), "_bucket"), "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = e.select("_id", "_v")
+    dot = (
+        "aggregate(zip_with(_va, _vb, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "aggregate({v}, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    return (
+        cand.join(vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a")
+        .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+        .withColumn("_cos", F.expr(
+            f"{dot} / sqrt(({nrm.format(v='_va')}) * ({nrm.format(v='_vb')}))"
+        ))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Unordered pairs with cosine >= threshold (embedding near-duplicates).
 
-    Baseline path: the full corpus is broadcast as one normalized matrix (fine
-    up to ~10M x 64 float32 = 2.5 GB executor memory at most; beyond that the
-    LSH-bucketed variant partitions by hyperplane signature first).  Each batch
-    matmuls against the broadcast matrix and emits only pairs (a < b) above
-    threshold, so nothing quadratic ever materializes in the plan.
+    Auto-routed: corpora up to ``exact_max_rows`` use the EXACT broadcast
+    path (full normalized matrix broadcast, per-batch matmul — ~10M x 64
+    float32 = 2.5 GB is the hard executor ceiling); larger corpora fall back
+    to :func:`near_dup_pairs_lsh`, the bucket-first approximate path that
+    never materializes the corpus on the driver.
+    """
+    if emb.count() > exact_max_rows:
+        return near_dup_pairs_lsh(
+            emb, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    return near_dup_pairs_exact(
+        emb, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
+def near_dup_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact pairs via broadcast matmul (small/medium corpora only).
+
+    Each batch matmuls against the broadcast matrix and emits only pairs
+    (a < b) above threshold, so nothing quadratic ever materializes in the
+    plan — but the whole corpus IS collected and broadcast; use
+    :func:`near_dup_pairs_lsh` beyond ~10M vectors.
     """
     spark = emb.sparkSession
     apd = emb.select(id_col, vec_col).toPandas()

