@@ -20,6 +20,7 @@ def all_queries():
         nonsql,
         overlay,
         raster2,
+        rastermask,
         relational,
         uomq,
         textops,
@@ -38,6 +39,7 @@ def all_queries():
         overlay,
         vgeomq,
         raster2,
+        rastermask,
         coverage2,
         checks2,
         checks3,

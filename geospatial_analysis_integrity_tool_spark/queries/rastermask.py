@@ -1,0 +1,296 @@
+"""Raster MASK*/CLAMP*/GRID_STD_DEV check family (SURVEY.md §2.3 raster row).
+
+Reference: GAIT's DEM mask/clamp checks live in TT.c's grid sections with the
+block readers at moregeomchecks.c:435-606 — MASKZERO 189 (masked post carries
+a non-water elevation), MASKCONSTANT 190 (edited/constant zone not constant),
+MASKMONO 191 (monotonicity over masked water runs), CLAMP_DIF 188 (DEM vs
+second/clamp surface difference), GRID_STD_DEV 205 (tile roughness).
+
+Fixtures: the deterministic LCG elevation tiles (queries/overlay.py
+build_raster_tiles) plus derived surfaces computed from global post indexes
+(gx, gy) with pure INTEGER arithmetic — a water mask, an "edited" surface
+with planted un-edited posts, and a second clamp surface with swapped LCG
+multipliers.  Engine and oracle both work in exact integer deci-meters, so
+no float ever enters a decision.
+
+Spark shape: tiles stay arrays; posts explode via JVM ``posexplode`` only
+where a check needs neighbor joins or per-post rows; per-tile checks use
+``aggregate``/``transform`` higher-order functions directly on the arrays
+(no shuffle at all).  The oracle derives every surface closed-form from
+``range()`` — an independent re-derivation, so the overlay plumbing itself
+is what gets verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .overlay import NTILES, POSTS, build_raster_tiles
+
+# elevation in deci-meters at global post (gx, gy) — the build_raster_tiles LCG
+def _ed(gx: str, gy: str) -> str:
+    return f"CAST(((({gx}) * 7919 + ({gy}) * 104729) % 4000) AS BIGINT)"
+
+
+# second (clamp) surface: swapped multipliers
+def _ed2(gx: str, gy: str) -> str:
+    return f"CAST(((({gx}) * 104729 + ({gy}) * 7919) % 4000) AS BIGINT)"
+
+
+# water mask: ~4.3% of posts (periodic hash — deliberately never adjacent
+# along x, so MASKZERO gets isolated posts)
+def _is_water(gx: str, gy: str) -> str:
+    return f"(((({gx}) * 131 + ({gy}) * 139) % 23) = 0)"
+
+
+# water RUNS for the monotonicity check: every 9th row is a west-east river
+def _is_river(gx: str, gy: str) -> str:
+    return f"((({gy}) % 9) = 0)"
+
+
+# constant-edit zone: ~3.2% of posts
+def _is_zone(gx: str, gy: str) -> str:
+    return f"(((({gx}) * 17 + ({gy}) * 19) % 31) = 0)"
+
+
+# planted edit violations: in every 5th tile, zone posts hit by this residue
+# kept their raw LCG value instead of the 777 fill
+def _is_violation(gx: str, gy: str, tileid: str) -> str:
+    return (
+        f"((({tileid}) % 5) = 0 AND (((({gx}) * 13 + ({gy}) * 29) % 97) = 0))"
+    )
+
+
+MASKZERO_TOL_DECIM = 200     # water post may sit at most 20 m above zero
+MASKMONO_RISE_DECIM = 1000   # adjacent water posts: eastward rise > 100 m
+CLAMP_TOL_DECIM = 3500       # |DEM - clamp| > 350 m
+CONST_FILL_DECIM = 777
+# var_num = n*sumsq - sum^2 over a tile (n = POSTS^2); threshold ~= the
+# uniform-LCG expectation so roughly half the tiles flag — deterministic
+# either way, integer-exact on both engines
+VAR_NUM_TOL = 8_332_892_000_000
+
+
+def _posts(spark: SparkSession) -> DataFrame:
+    """Explode the tiles table into global posts with integer elevations."""
+    tiles = build_raster_tiles(spark)
+    return tiles.selectExpr(
+        "tx", "ty", "posexplode(elevs) AS (k, e)"
+    ).selectExpr(
+        f"CAST(tx AS BIGINT) * {POSTS} + k % {POSTS} AS gx",
+        f"CAST(ty AS BIGINT) * {POSTS} + k DIV {POSTS} AS gy",
+        "CAST(e * 10.0 AS BIGINT) AS ed",
+    )
+
+
+# --- raster_mask_zero (MASKZERO 189) ------------------------------------------
+
+
+def q_mask_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _posts(spark)
+    return p.filter(F.expr(_is_water("gx", "gy"))).filter(
+        F.col("ed") > MASKZERO_TOL_DECIM
+    ).select("gx", "gy", F.col("ed").alias("elev_decim"))
+
+
+ORACLE_MASK_ZERO = f"""
+WITH posts AS (
+  SELECT gx.gx, gy.gy
+  FROM (SELECT unnest(range(0, {NTILES * POSTS})) AS gx) gx,
+       (SELECT unnest(range(0, {NTILES * POSTS})) AS gy) gy
+)
+SELECT gx, gy, {_ed('gx', 'gy')} AS elev_decim
+FROM posts
+WHERE {_is_water('gx', 'gy')} AND {_ed('gx', 'gy')} > {MASKZERO_TOL_DECIM}
+"""
+
+
+# --- raster_mask_constant (MASKCONSTANT 190) ----------------------------------
+
+
+def q_mask_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiles whose edit-zone posts are not all one constant.
+
+    The edited surface is derived per post (zone posts filled with 777 decim
+    except planted violations); the check runs per tile with NO shuffle —
+    ``filter`` + ``transform`` + ``array_distinct`` straight on the array.
+    """
+    tiles = build_raster_tiles(spark)
+    tileid = f"(CAST(tx AS BIGINT) * {NTILES} + ty)"
+    gx = f"(CAST(tx AS BIGINT) * {POSTS} + i % {POSTS})"
+    gy = f"(CAST(ty AS BIGINT) * {POSTS} + i DIV {POSTS})"
+    edited = (
+        f"CASE WHEN {_is_violation(gx, gy, tileid)} THEN {_ed(gx, gy)}"
+        f" ELSE {CONST_FILL_DECIM} END"
+    )
+    zone_vals = (
+        f"transform(filter(sequence(0, {POSTS * POSTS - 1}),"
+        f" i -> {_is_zone(gx, gy)}), i -> {edited})"
+    )
+    return (
+        tiles.selectExpr(
+            "tx",
+            "ty",
+            f"CAST(size(array_distinct({zone_vals})) AS BIGINT) AS n_distinct",
+            f"CAST(size({zone_vals}) AS BIGINT) AS n_zone_posts",
+        )
+        .filter(F.col("n_distinct") > 1)
+    )
+
+
+ORACLE_MASK_CONSTANT = f"""
+WITH posts AS (
+  SELECT gx.gx, gy.gy,
+         CAST(gx.gx // {POSTS} AS BIGINT) AS tx,
+         CAST(gy.gy // {POSTS} AS BIGINT) AS ty
+  FROM (SELECT unnest(range(0, {NTILES * POSTS})) AS gx) gx,
+       (SELECT unnest(range(0, {NTILES * POSTS})) AS gy) gy
+),
+zone AS (
+  SELECT tx, ty,
+         CASE WHEN {_is_violation('gx', 'gy', f'(tx * {NTILES} + ty)')}
+              THEN {_ed('gx', 'gy')} ELSE {CONST_FILL_DECIM} END AS edited
+  FROM posts WHERE {_is_zone('gx', 'gy')}
+)
+SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       CAST(COUNT(DISTINCT edited) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_zone_posts
+FROM zone
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT edited) > 1
+"""
+
+
+# --- raster_mask_mono (MASKMONO 191, adjacency variant) -----------------------
+
+
+def q_mask_mono(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent water posts where elevation RISES eastward beyond tolerance
+    (water should flow downhill or stay level) — a neighbor equi-join over
+    the exploded posts, crossing tile seams for free."""
+    p = _posts(spark).filter(F.expr(_is_river("gx", "gy")))
+    east = p.selectExpr("gx - 1 AS gx", "gy", "ed AS ed_east")
+    return (
+        p.join(east, ["gx", "gy"])
+        .filter(F.col("ed_east") - F.col("ed") > MASKMONO_RISE_DECIM)
+        .selectExpr("gx", "gy", "ed_east - ed AS rise_decim")
+    )
+
+
+ORACLE_MASK_MONO = f"""
+WITH posts AS (
+  SELECT gx.gx, gy.gy
+  FROM (SELECT unnest(range(0, {NTILES * POSTS - 1})) AS gx) gx,
+       (SELECT unnest(range(0, {NTILES * POSTS})) AS gy) gy
+)
+SELECT gx, gy, {_ed('gx + 1', 'gy')} - {_ed('gx', 'gy')} AS rise_decim
+FROM posts
+WHERE {_is_river('gx', 'gy')} AND {_is_river('gx + 1', 'gy')}
+  AND {_ed('gx + 1', 'gy')} - {_ed('gx', 'gy')} > {MASKMONO_RISE_DECIM}
+"""
+
+
+# --- raster_grid_stddev (GRID_STD_DEV 205) ------------------------------------
+
+
+def q_grid_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiles rougher than tolerance: integer variance numerator
+    n*sumsq - sum^2 compared against a fixed integer threshold — exact on
+    both engines, no division, no floats."""
+    tiles = build_raster_tiles(spark)
+    n = POSTS * POSTS
+    return (
+        tiles.selectExpr(
+            "tx",
+            "ty",
+            "aggregate(elevs, 0L, (acc, e) -> acc + CAST(e * 10.0 AS BIGINT)) AS _s",
+            "aggregate(elevs, 0L, (acc, e) -> acc + CAST(e * 10.0 AS BIGINT)"
+            " * CAST(e * 10.0 AS BIGINT)) AS _sq",
+        )
+        .selectExpr("tx", "ty", f"{n} * _sq - _s * _s AS var_num")
+        .filter(F.col("var_num") > VAR_NUM_TOL)
+    )
+
+
+ORACLE_GRID_STDDEV = f"""
+WITH grid AS (
+  SELECT CAST(gx.gx // {POSTS} AS INT) AS tx, CAST(gy.gy // {POSTS} AS INT) AS ty,
+         {_ed('gx.gx', 'gy.gy')} AS e
+  FROM (SELECT unnest(range(0, {NTILES * POSTS})) AS gx) gx,
+       (SELECT unnest(range(0, {NTILES * POSTS})) AS gy) gy
+),
+stats AS (
+  SELECT tx, ty,
+         {POSTS * POSTS} * CAST(SUM(e * e) AS BIGINT)
+         - CAST(SUM(e) AS BIGINT) * CAST(SUM(e) AS BIGINT) AS var_num
+  FROM grid GROUP BY 1, 2
+)
+SELECT tx, ty, var_num FROM stats WHERE var_num > {VAR_NUM_TOL}
+"""
+
+
+# --- raster_clamp_dif (CLAMP_DIF 188) -----------------------------------------
+
+
+def q_clamp_dif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEM vs second (clamp) surface: posts differing beyond tolerance.
+
+    The clamp surface arrives as a SECOND tiles table joined on (tx, ty) —
+    a raster x raster co-partitioned equi-join — and the per-post difference
+    runs as ``zip_with`` on the paired arrays, exploding only survivors.
+    """
+    tiles = build_raster_tiles(spark)
+    tiles2 = spark.range(NTILES * NTILES).selectExpr(
+        f"CAST(id % {NTILES} AS INT) AS tx",
+        f"CAST(id DIV {NTILES} AS INT) AS ty",
+        (
+            "transform(sequence(0, {nn}), k -> "
+            "CAST(((CAST(tx AS BIGINT) * {p} + k % {p}) * 104729"
+            " + (CAST(ty AS BIGINT) * {p} + k DIV {p}) * 7919) % 4000 AS DOUBLE) / 10.0)"
+        ).format(nn=POSTS * POSTS - 1, p=POSTS) + " AS elevs2",
+    )
+    paired = tiles.join(tiles2, ["tx", "ty"])
+    difs = paired.selectExpr(
+        "tx",
+        "ty",
+        "posexplode(zip_with(elevs, elevs2, (a, b) ->"
+        " CAST(a * 10.0 AS BIGINT) - CAST(b * 10.0 AS BIGINT))) AS (k, dif)",
+    )
+    return (
+        difs.filter(F.expr(f"abs(dif) > {CLAMP_TOL_DECIM}"))
+        .selectExpr(
+            f"CAST(tx AS BIGINT) * {POSTS} + k % {POSTS} AS gx",
+            f"CAST(ty AS BIGINT) * {POSTS} + k DIV {POSTS} AS gy",
+            "dif AS dif_decim",
+        )
+    )
+
+
+ORACLE_CLAMP_DIF = f"""
+WITH posts AS (
+  SELECT gx.gx, gy.gy
+  FROM (SELECT unnest(range(0, {NTILES * POSTS})) AS gx) gx,
+       (SELECT unnest(range(0, {NTILES * POSTS})) AS gy) gy
+)
+SELECT gx, gy, {_ed('gx', 'gy')} - {_ed2('gx', 'gy')} AS dif_decim
+FROM posts
+WHERE abs({_ed('gx', 'gy')} - {_ed2('gx', 'gy')}) > {CLAMP_TOL_DECIM}
+"""
+
+
+QUERIES = {
+    "raster_mask_zero": q_mask_zero,
+    "raster_mask_constant": q_mask_constant,
+    "raster_mask_mono": q_mask_mono,
+    "raster_grid_stddev": q_grid_stddev,
+    "raster_clamp_dif": q_clamp_dif,
+}
+
+ORACLES = {
+    "raster_mask_zero": ORACLE_MASK_ZERO,
+    "raster_mask_constant": ORACLE_MASK_CONSTANT,
+    "raster_mask_mono": ORACLE_MASK_MONO,
+    "raster_grid_stddev": ORACLE_GRID_STDDEV,
+    "raster_clamp_dif": ORACLE_CLAMP_DIF,
+}
