@@ -112,3 +112,76 @@ def attr_conformance(
         .unionByName(attr_dt)
         .unionByName(attr_rng)
     )
+
+
+def attr_extended(
+    attrs_long: DataFrame,
+    spec_attrs: DataFrame,      # (fcode, attr, required, datatype, low, high)
+    nunanpo: DataFrame,         # (value) — Null/Unknown/NotApplicable/... sentinels
+    meta_rules: DataFrame,      # (attr, kind, low, high, exact_len)
+    portray_rules: DataFrame,   # (fcode, attr, value) — portrayable combos
+    reported: DataFrame,        # (feature_id, attr, message) — extract-phase errors
+) -> DataFrame:
+    """The remaining §2.9 checks; returns (feature_id, errtype, attr, value).
+
+    * ATTR_RNULL 229 — required attribute populated with a NUNANPO sentinel
+      ({model}_nunanpo_enum.c tables; sentinel handling TTformat.c:26342-26412,
+      TT.c:1625).
+    * ATTR_META 228 — metadata attribute violations (GIFD rules,
+      gifd_functionality.c): numeric ranges and identifier length.
+    * PORTRAYF 219 — feature matches NO portrayal rule (rule-set anti-join;
+      errors.c case comments).
+    * RPTD_ATTR 218 — pass-through of attribution errors reported by the
+      extract phase (TT.c:44129-44183 AttrErr read).
+
+    Same physical shape as attr_conformance: every rule table broadcasts;
+    zero UDFs, zero extra shuffles on the feature side.
+    """
+    sa = F.broadcast(spec_attrs)
+    nn = F.broadcast(nunanpo)
+    mr = F.broadcast(meta_rules)
+    pr = F.broadcast(portray_rules)
+
+    present = attrs_long.filter(F.col("attr").isNotNull())
+    feats = attrs_long.select("feature_id", "fcode", "geom").distinct()
+
+    required = sa.filter(F.col("required")).select("fcode", "attr")
+    attr_rnull = (
+        present.join(required, ["fcode", "attr"])
+        .join(nn, "value")
+        .select("feature_id", F.lit("ATTR_RNULL").alias("errtype"), "attr", "value")
+    )
+
+    with_meta = present.join(mr, "attr")
+    meta_range = with_meta.filter(F.col("kind") == "range").filter(
+        F.expr("try_cast(value AS BIGINT) IS NULL")
+        | (F.expr("try_cast(value AS BIGINT)") < F.col("low"))
+        | (F.expr("try_cast(value AS BIGINT)") > F.col("high"))
+    )
+    meta_len = with_meta.filter(F.col("kind") == "len").filter(
+        F.length("value") != F.col("exact_len")
+    )
+    attr_meta = meta_range.unionByName(meta_len).select(
+        "feature_id", F.lit("ATTR_META").alias("errtype"), "attr", "value"
+    )
+
+    portrayable = (
+        present.join(pr, ["fcode", "attr", "value"])
+        .select("feature_id")
+        .distinct()
+    )
+    portrayf = feats.join(portrayable, "feature_id", "left_anti").select(
+        "feature_id",
+        F.lit("PORTRAYF").alias("errtype"),
+        F.lit(None).cast("string").alias("attr"),
+        F.col("fcode").alias("value"),
+    )
+
+    rptd = reported.select(
+        "feature_id", F.lit("RPTD_ATTR").alias("errtype"), "attr",
+        F.col("message").alias("value"),
+    )
+
+    return (
+        attr_rnull.unionByName(attr_meta).unionByName(portrayf).unionByName(rptd)
+    )

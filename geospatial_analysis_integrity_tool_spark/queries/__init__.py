@@ -22,6 +22,7 @@ def all_queries():
         raster2,
         rastermask,
         relational,
+        specq,
         uomq,
         textops,
         vgeomq,
@@ -47,6 +48,7 @@ def all_queries():
         metadataq,
         misc,
         uomq,
+        specq,
         nonsql,
     ):
         q.update(mod.QUERIES)

@@ -142,5 +142,114 @@ WHERE TRY_CAST(p.value AS BIGINT) IS NOT NULL
   AND (TRY_CAST(p.value AS BIGINT) < r.low OR TRY_CAST(p.value AS BIGINT) > r.high)
 """
 
-QUERIES = {"attr_conformance": q_attr_conformance}
-ORACLES = {"attr_conformance": ORACLE_ATTR_CONFORMANCE}
+# --- attr_extended_checks: ATTR_RNULL 229 / ATTR_META 228 / PORTRAYF 219 /
+# --- RPTD_ATTR 218 (the rest of §2.9) -----------------------------------------
+#
+# Extended fixture: the same part-derived long form plus
+#   * NAM sentinel rows for feature_id % 10 = 5 (these features' NAM is
+#     otherwise absent) -> ATTR_RNULL where NAM is required,
+#   * UID identifier (md5 prefix; every 19th is malformed) -> ATTR_META len,
+#   * ACC accuracy code 1..7 (rule range 1..5)              -> ATTR_META range,
+#   * portrayal rules keyed on (fcode, ACC value)           -> PORTRAYF,
+#   * an extract-phase reported-error side table            -> RPTD_ATTR.
+
+_ATTRS2_SQL = f"""
+{_ATTRS_LONG_SQL}
+UNION ALL
+SELECT feature_id, fcode, geom, 'NAM',
+       CASE CAST(feature_id % 4 AS INT)
+         WHEN 0 THEN 'UNK' WHEN 1 THEN 'N_P' WHEN 2 THEN 'Null'
+         ELSE '-32767' END
+FROM base WHERE feature_id % 10 = 5
+UNION ALL
+SELECT feature_id, fcode, geom, 'UID',
+       CASE WHEN feature_id % 19 = 0 THEN 'baduid'
+            ELSE substr(md5(CAST(feature_id AS STRING)), 1, 16) END
+FROM base
+UNION ALL
+SELECT feature_id, fcode, geom, 'ACC', CAST(1 + feature_id % 7 AS STRING)
+FROM base
+"""
+
+NUNANPO = [("UNK",), ("N_P",), ("N_A",), ("Null",), ("-32767",), ("noInformation",)]
+META_RULES = [
+    ("ACC", "range", 1, 5, None),
+    ("UID", "len", None, None, 16),
+]
+PORTRAY_RULES = (
+    [("AL015", "ACC", str(v)) for v in (1, 2, 3)]
+    + [("GB005", "ACC", str(v)) for v in (2, 4)]
+    + [("BH140", "ACC", str(v)) for v in (1, 5, 6)]
+    + [("AP030", "ACC", str(v)) for v in (3, 7)]
+)
+
+_REPORTED_SQL = """
+SELECT p_partkey AS feature_id, 'TYP' AS attr,
+       'import: unreadable attribute record' AS message
+FROM part WHERE p_partkey % 23 = 0
+"""
+
+
+def q_attr_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.checks_attr import attr_extended
+
+    register_testdata_views(spark, sf_dir)
+    attrs_long = spark.sql(_ATTRS2_SQL)
+    spec_attrs = spark.createDataFrame(
+        SPEC_ATTRS,
+        "fcode string, attr string, required boolean, datatype string, low int, high int",
+    )
+    nunanpo = spark.createDataFrame(NUNANPO, "value string")
+    meta_rules = spark.createDataFrame(
+        META_RULES, "attr string, kind string, low int, high int, exact_len int"
+    )
+    portray = spark.createDataFrame(PORTRAY_RULES, "fcode string, attr string, value string")
+    reported = spark.sql(_REPORTED_SQL)
+    return attr_extended(attrs_long, spec_attrs, nunanpo, meta_rules, portray, reported)
+
+
+_NUNANPO_SQL = _values(NUNANPO, ["value"])
+_META_RULES_SQL = _values(META_RULES, ["attr", "kind", "low", "high", "exact_len"])
+_PORTRAY_SQL = _values(PORTRAY_RULES, ["fcode", "attr", "value"])
+
+ORACLE_ATTR_EXTENDED = f"""
+WITH attrs_long AS ({_ATTRS2_SQL}),
+spec_attrs AS (SELECT * FROM {_SPEC_ATTRS_SQL}),
+nunanpo AS (SELECT * FROM {_NUNANPO_SQL}),
+meta_rules AS (SELECT * FROM {_META_RULES_SQL}),
+portray AS (SELECT * FROM {_PORTRAY_SQL}),
+reported AS ({_REPORTED_SQL}),
+feats AS (SELECT DISTINCT feature_id, fcode, geom FROM attrs_long),
+present AS (SELECT * FROM attrs_long WHERE attr IS NOT NULL)
+SELECT p.feature_id, 'ATTR_RNULL' AS errtype, p.attr, p.value
+FROM present p
+JOIN (SELECT fcode, attr FROM spec_attrs WHERE required) r
+  ON r.fcode = p.fcode AND r.attr = p.attr
+JOIN nunanpo n ON n.value = p.value
+UNION ALL
+SELECT p.feature_id, 'ATTR_META', p.attr, p.value
+FROM present p JOIN meta_rules m ON m.attr = p.attr
+WHERE (m.kind = 'range' AND (TRY_CAST(p.value AS BIGINT) IS NULL
+       OR TRY_CAST(p.value AS BIGINT) < m.low
+       OR TRY_CAST(p.value AS BIGINT) > m.high))
+   OR (m.kind = 'len' AND length(p.value) <> m.exact_len)
+UNION ALL
+SELECT f.feature_id, 'PORTRAYF', CAST(NULL AS STRING), f.fcode
+FROM feats f
+WHERE NOT EXISTS (
+  SELECT 1 FROM present p JOIN portray r
+    ON r.fcode = p.fcode AND r.attr = p.attr AND r.value = p.value
+  WHERE p.feature_id = f.feature_id
+)
+UNION ALL
+SELECT feature_id, 'RPTD_ATTR', attr, message FROM reported
+"""
+
+QUERIES = {
+    "attr_conformance": q_attr_conformance,
+    "attr_extended_checks": q_attr_extended,
+}
+ORACLES = {
+    "attr_conformance": ORACLE_ATTR_CONFORMANCE,
+    "attr_extended_checks": ORACLE_ATTR_EXTENDED,
+}
