@@ -22,6 +22,8 @@ def all_queries():
         raster2,
         rastermask,
         relational,
+        scalarq,
+        shpq,
         specq,
         uomq,
         textops,
@@ -49,6 +51,8 @@ def all_queries():
         misc,
         uomq,
         specq,
+        shpq,
+        scalarq,
         nonsql,
     ):
         q.update(mod.QUERIES)
