@@ -10,8 +10,10 @@ def all_queries():
         attrchecks,
         checks2,
         checks3,
+        edgematchq,
         conditionspipe,
         coverage2,
+        edgematchq,
         embeddings,
         geometry,
         metadataq,
@@ -19,6 +21,7 @@ def all_queries():
         networksq,
         nonsql,
         overlay,
+        overshootq,
         raster2,
         rastermask,
         relational,
@@ -46,6 +49,7 @@ def all_queries():
         coverage2,
         checks2,
         checks3,
+        edgematchq,
         networksq,
         metadataq,
         misc,
@@ -53,6 +57,7 @@ def all_queries():
         specq,
         shpq,
         scalarq,
+        overshootq,
         nonsql,
     ):
         q.update(mod.QUERIES)
