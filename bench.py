@@ -30,8 +30,13 @@ HEADLINE = [
     "geo_dup_geom",
     "geo_line_intersections",
     "geo_line_area",
+    "geo_loops",
+    "geo_area_overlap",
     "conditions_pipeline",
     "raster_point_grid_dif",
+    "raster_clamp_dif",
+    "geo_convex_hull_stats",
+    "shp_dbf_scan",
     "q1_pricing_summary",
     "q5_region_revenue",
     "events_sessionize",
@@ -52,6 +57,8 @@ SPATIAL = {
     "geo_dup_geom",
     "geo_line_intersections",
     "geo_line_area",
+    "geo_loops",
+    "geo_area_overlap",
     "conditions_pipeline",
 }
 

@@ -39,3 +39,35 @@ def apply_roles(features: DataFrame, spec: DataFrame) -> DataFrame:
         & ~F.expr("array_contains(fcodes_exclude, fcode)")
     )
     return admitted.select("check", "instance", "role", "feature_id", "fcode")
+
+
+#: SensitivityCheck's nine comparison operators (TT.c:13798-13865): value v
+#: against thresholds t1 (and t2 for the interval forms).  Shared SQL text —
+#: identical decisions on Spark and DuckDB.
+SENSITIVITY_OPS: dict[str, str] = {
+    "LT": "({v} < {t1})",
+    "LTEQ": "({v} <= {t1})",
+    "EQEQ": "({v} = {t1})",
+    "GTEQ": "({v} >= {t1})",
+    "GT": "({v} > {t1})",
+    "OPENINT": "({v} > {t1} AND {v} < {t2})",
+    "GTCLOSED": "({v} >= {t1} AND {v} < {t2})",
+    "CLOSEDINT": "({v} >= {t1} AND {v} <= {t2})",
+    "LTCLOSED": "({v} > {t1} AND {v} <= {t2})",
+}
+
+
+def sensitivity_sql(op: str, v: str, t1: str, t2: str = "NULL") -> str:
+    """Render one of the nine ops as shared predicate text."""
+    return SENSITIVITY_OPS[op].format(v=v, t1=t1, t2=t2)
+
+
+def resolve_tolerances(spec: DataFrame) -> DataFrame:
+    """Clone-max tolerance resolution (FindRelevantSensitivity TT.c:2266,
+    max across clones :2291): per (check, role) the governing tolerance is
+    the MAX over all active instances/clones."""
+    return (
+        spec.filter(F.col("active"))
+        .groupBy("check", "role")
+        .agg(F.max("tol1").alias("tol1_resolved"))
+    )

@@ -26,6 +26,7 @@ def all_queries():
         rastermask,
         relational,
         scalarq,
+        sensq,
         shpq,
         specq,
         uomq,
@@ -57,6 +58,7 @@ def all_queries():
         specq,
         shpq,
         scalarq,
+        sensq,
         overshootq,
         nonsql,
     ):

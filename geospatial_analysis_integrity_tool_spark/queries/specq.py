@@ -25,6 +25,8 @@ SPEC_TEXT = """
 CHECK SEGLEN 1 on GEOM 2
 SENSITIVITY SEGLEN 1 50.0
 INCLUDE SEGLEN 1 1 AP030 AT030
+CHECK SEGLEN 2 on GEOM 2
+SENSITIVITY SEGLEN 2 75.0
 CHECK PTINREGION 1 on GEOM 1
 EXCLUDE PTINREGION 1 1 GB005
 CHECK AOVERLAPA 2 off GEOM 3
@@ -60,6 +62,7 @@ WITH features AS ({_FEATURES_SQL}),
 spec_rows AS (
   SELECT * FROM (VALUES
     ('SEGLEN', 1, 1, 2),
+    ('SEGLEN', 2, 1, 2),
     ('PTINREGION', 1, 1, 1),
     ('ATTR_PICK', 1, 1, 1),
     ('ATTR_PICK', 1, 2, 1)

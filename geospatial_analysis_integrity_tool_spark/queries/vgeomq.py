@@ -185,14 +185,14 @@ WHERE {sql_proper_cross()}
 # --- geo_line_area (LAINT 124 / LINSIDEA 68, hole-aware) -----------------------
 
 
-def _area_edges(spark: SparkSession) -> DataFrame:
-    """Ring edges (incl. closing edge) of geo_vareas as a DataFrame.
+def _area_edges(spark: SparkSession, view: str = "geo_vareas") -> DataFrame:
+    """Ring edges (incl. closing edge) of an areal vertex view.
 
     Equi-join on (area_id, ring) with the wraparound successor resolved by a
     post-join modulo filter — no vertex arrays shipped, fully shuffled by
     feature key.
     """
-    v = spark.table("geo_vareas")
+    v = spark.table(view)
     nv = v.groupBy("area_id", "ring").agg(F.count("*").alias("_n"))
     w = v.select(
         F.col("area_id").alias("_a2"),
@@ -230,7 +230,7 @@ def _with_bbox(df: DataFrame, xs: tuple[str, str], ys: tuple[str, str]) -> DataF
 
 
 def _inside_pairs(spark: SparkSession, edges: DataFrame, probes: DataFrame,
-                  probe_keys: list[str]) -> DataFrame:
+                  probe_keys: list[str], view: str = "geo_vareas") -> DataFrame:
     """(probe, area) pairs where the probe point is inside the areal
     (even-odd parity over all ring edges, holes included).
 
@@ -239,7 +239,7 @@ def _inside_pairs(spark: SparkSession, edges: DataFrame, probes: DataFrame,
     parity computed by an equi-join on area_id — fully distributed, no
     broadcast of vertex arrays.
     """
-    v = spark.table("geo_vareas")
+    v = spark.table(view)
     bbox = v.groupBy("area_id").agg(
         F.min("x").alias("_minx"),
         F.max("x").alias("_maxx"),
@@ -382,9 +382,23 @@ WHERE NOT EXISTS (
 # --- geo_area_overlap (AOVERLAPA 136, variable polygons) -----------------------
 
 
+# augmented areal set for the overlap check: every 11th area gets a copy
+# shifted east by a quarter-width — guaranteed overlapping siblings (the
+# decoupled prime lattice never overlaps organically; pair deltas are
+# lattice-correlated).  Shared SQL text -> identical geometry in both engines.
+_AREAS_OV_SQL = """
+SELECT area_id, ring, vidx, x, y FROM geo_vareas
+UNION ALL
+SELECT area_id + 30000000, ring, vidx,
+       x + CAST(1 + (area_id % 5) AS DOUBLE) / 4000.0, y
+FROM geo_vareas WHERE area_id % 11 = 0
+"""
+
+
 def q_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
-    edges = _area_edges(spark)
+    spark.sql(_AREAS_OV_SQL).createOrReplaceTempView("geo_vareas_ov")
+    edges = _area_edges(spark, view="geo_vareas_ov")
     ec = explode_bbox_cells(
         _with_bbox(edges, ("ex1", "ex2"), ("ey1", "ey2")),
         "_minx", "_maxx", "_miny", "_maxy", CELL,
@@ -406,14 +420,14 @@ def q_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     # representative-vertex containment (outer ring vertex 0) either way
-    rep = spark.table("geo_vareas").filter("ring = 0 AND vidx = 0").select(
+    rep = spark.table("geo_vareas_ov").filter("ring = 0 AND vidx = 0").select(
         F.col("area_id").alias("probe_id"),
         F.col("x").alias("px"),
         F.col("y").alias("py"),
     )
-    inside = _inside_pairs(spark, edges, rep, ["probe_id"]).filter(
-        F.col("probe_id") != F.col("area_id")
-    )
+    inside = _inside_pairs(
+        spark, edges, rep, ["probe_id"], view="geo_vareas_ov"
+    ).filter(F.col("probe_id") != F.col("area_id"))
     contain = inside.select(
         F.least("probe_id", "area_id").alias("id_a"),
         F.greatest("probe_id", "area_id").alias("id_b"),
@@ -423,7 +437,8 @@ def q_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_AREA_OVERLAP_V = f"""
 {oracle_cte('geo_vareas')},
-{_EDGES_CTE.strip()},
+geo_vareas_ov AS MATERIALIZED ({_AREAS_OV_SQL}),
+{_EDGES_CTE.strip().replace("geo_vareas", "geo_vareas_ov")},
 {_cells('edges', 'edgec').strip()},
 crossed AS (
   SELECT DISTINCT a.area_id AS id_a, b.area_id AS id_b
@@ -438,12 +453,12 @@ crossed AS (
 ),
 abbox AS (
   SELECT area_id, MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy
-  FROM geo_vareas GROUP BY area_id
+  FROM geo_vareas_ov GROUP BY area_id
 ),
 {_cells('abbox', 'abc').strip()},
 rep AS (
   SELECT area_id AS probe_id, x AS px, y AS py
-  FROM geo_vareas WHERE ring = 0 AND vidx = 0
+  FROM geo_vareas_ov WHERE ring = 0 AND vidx = 0
 ),
 cand AS (
   SELECT r.probe_id, r.px, r.py, a.area_id

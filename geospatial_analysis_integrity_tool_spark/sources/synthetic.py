@@ -211,17 +211,17 @@ GEO_VLINES_SQL = """
 SELECT
   o_orderkey                                          AS line_id,
   k                                                   AS vidx,
-  CAST((o_orderkey * 487) % 4000 AS DOUBLE) / 1000.0 + 10.0
+  CAST((o_orderkey * 487) % 3989 AS DOUBLE) / 1000.0 + 10.0
     + CAST((1 + (o_orderkey % 7))
            * abs((k % (2 * (3 + (o_orderkey % 5)))) - (3 + (o_orderkey % 5)))
-           AS DOUBLE) / 1000.0
+           AS DOUBLE) / 4000.0
     + CAST(k AS DOUBLE) / 50000.0
     + CASE WHEN (o_orderkey % 101) = 0 AND k = 1 + (o_orderkey % 49)
            THEN 0.3 ELSE 0.0 END                      AS x,
-  CAST((o_orderkey * 257) % 4000 AS DOUBLE) / 1000.0 + 40.0
+  CAST((o_orderkey * 257) % 3997 AS DOUBLE) / 1000.0 + 40.0
     + CAST((1 + (o_orderkey % 9))
            * abs(((k + 2) % (2 * (4 + (o_orderkey % 7)))) - (4 + (o_orderkey % 7)))
-           AS DOUBLE) / 1000.0
+           AS DOUBLE) / 4000.0
     + CAST(k AS DOUBLE) / 40000.0                     AS y,
   CAST(((o_orderkey * 89) + (k * 37)) % 300 AS DOUBLE) / 10.0
     + CASE WHEN (o_orderkey % 61) = 0
@@ -246,18 +246,18 @@ SELECT
   0                                                   AS ring,
   k                                                   AS vidx,
   CASE WHEN k < 2 + (o_orderkey % 4)
-       THEN CAST((o_orderkey * 719) % 4000 AS DOUBLE) / 1000.0 + 10.0
+       THEN CAST((o_orderkey * 719) % 3989 AS DOUBLE) / 1000.0 + 10.0
             + CAST(2 + (o_orderkey % 6) AS DOUBLE) / 1000.0
               * CAST(k AS DOUBLE) / CAST(1 + (o_orderkey % 4) AS DOUBLE)
-       ELSE CAST((o_orderkey * 719) % 4000 AS DOUBLE) / 1000.0 + 10.0
+       ELSE CAST((o_orderkey * 719) % 3989 AS DOUBLE) / 1000.0 + 10.0
             + CAST(2 + (o_orderkey % 6) AS DOUBLE) / 1000.0
               * CAST(1 + ((o_orderkey * 3) % 4) - (k - (2 + (o_orderkey % 4))) AS DOUBLE)
               / CAST(1 + ((o_orderkey * 3) % 4) AS DOUBLE)
        END                                            AS x,
   CASE WHEN k < 2 + (o_orderkey % 4)
-       THEN CAST((o_orderkey * 523) % 4000 AS DOUBLE) / 1000.0 + 40.0
+       THEN CAST((o_orderkey * 523) % 3997 AS DOUBLE) / 1000.0 + 40.0
             + CAST(((o_orderkey * 13) + (k * 29)) % 9 AS DOUBLE) / 10000.0
-       ELSE CAST((o_orderkey * 523) % 4000 AS DOUBLE) / 1000.0 + 40.0
+       ELSE CAST((o_orderkey * 523) % 3997 AS DOUBLE) / 1000.0 + 40.0
             + CAST(2 + ((o_orderkey * 5) % 7) AS DOUBLE) / 1000.0
             + CAST(((o_orderkey * 17) + ((k - (2 + (o_orderkey % 4))) * 31)) % 9 AS DOUBLE) / 10000.0
        END                                            AS y
@@ -270,10 +270,10 @@ SELECT
   o_orderkey                                          AS area_id,
   1                                                   AS ring,
   k                                                   AS vidx,
-  CAST((o_orderkey * 719) % 4000 AS DOUBLE) / 1000.0 + 10.0
+  CAST((o_orderkey * 719) % 3989 AS DOUBLE) / 1000.0 + 10.0
     + CAST(2 + (o_orderkey % 6) AS DOUBLE) / 1000.0
       * CASE WHEN k = 0 OR k = 3 THEN 0.25 ELSE 0.75 END AS x,
-  CAST((o_orderkey * 523) % 4000 AS DOUBLE) / 1000.0 + 40.0
+  CAST((o_orderkey * 523) % 3997 AS DOUBLE) / 1000.0 + 40.0
     + CAST(2 + ((o_orderkey * 5) % 7) AS DOUBLE) / 1000.0
       * CASE WHEN k < 2 THEN 0.55 ELSE 0.8 END           AS y
 FROM orders
