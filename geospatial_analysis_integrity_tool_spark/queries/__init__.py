@@ -18,6 +18,7 @@ def all_queries():
         geometry,
         metadataq,
         misc,
+        negationq,
         networksq,
         nonsql,
         overlay,
@@ -52,6 +53,7 @@ def all_queries():
         checks3,
         edgematchq,
         networksq,
+        negationq,
         metadataq,
         misc,
         uomq,

@@ -294,3 +294,68 @@ ORACLES = {
     "raster_grid_stddev": ORACLE_GRID_STDDEV,
     "raster_clamp_dif": ORACLE_CLAMP_DIF,
 }
+
+
+# --- dem_ascii_tile_stats: Grid-ASCII import round trip -------------------------
+#
+# The 64 LCG tiles are rendered to REAL ESRI ASCII grid files (one decimal,
+# north-to-south row order), read back through the DISTRIBUTED Grid-ASCII
+# scanner (sources/dem.py: binaryFile + parse kernel), and reduced to exact
+# integer per-tile statistics.  The oracle is the closed-form re-derivation
+# from range() (same as raster_tile_stats) — any header/ordering/format
+# defect in the writer or reader changes the stats and fails the hash.
+
+_ASC_FIXTURE_DIR = "/tmp/gait_asc_fixture_v1"
+
+
+def write_asc_fixture(dirpath: str = _ASC_FIXTURE_DIR) -> str:
+    import os
+
+    import numpy as np
+
+    from ..sources.dem import write_gridascii
+
+    if os.path.exists(os.path.join(dirpath, "_done")):
+        return dirpath
+    os.makedirs(dirpath, exist_ok=True)
+    gx = np.arange(POSTS, dtype=np.int64)
+    for tx in range(NTILES):
+        for ty in range(NTILES):
+            gxx = tx * POSTS + gx[None, :]
+            gyy = ty * POSTS + gx[:, None]
+            ed = (gxx * 7919 + gyy * 104729) % 4000
+            elevs = ed.astype(np.float64) / 10.0  # row 0 = south
+            write_gridascii(
+                os.path.join(dirpath, f"tile_{tx}_{ty}.asc"),
+                elevs,
+                x0=10.0 + tx * 0.5,
+                y0=40.0 + ty * 0.5,
+                cellsize=0.01,
+            )
+    open(os.path.join(dirpath, "_done"), "w").write("ok")
+    return dirpath
+
+
+def q_dem_ascii_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.dem import read_gridascii
+
+    d = write_asc_fixture()
+    tiles = read_gridascii(spark, d + "/*.asc")
+    return tiles.selectExpr(
+        "CAST(round((x0 - 10.0) / 0.5) AS INT) AS tx",
+        "CAST(round((y0 - 40.0) / 0.5) AS INT) AS ty",
+        "CAST(aggregate(elevs, 0L, (acc, e) -> acc + CAST(e * 10.0 AS BIGINT)) AS BIGINT)"
+        " AS sum_decim",
+        "CAST(aggregate(elevs, 0L, (acc, e) -> acc + CAST(e * 10.0 AS BIGINT)"
+        " * CAST(e * 10.0 AS BIGINT)) AS BIGINT) AS sumsq_decim2",
+        "CAST(aggregate(elevs, CAST(-1 AS BIGINT), (acc, e) ->"
+        " greatest(acc, CAST(e * 10.0 AS BIGINT))) AS BIGINT) AS max_decim",
+        "CAST(aggregate(elevs, CAST(999999 AS BIGINT), (acc, e) ->"
+        " least(acc, CAST(e * 10.0 AS BIGINT))) AS BIGINT) AS min_decim",
+    )
+
+
+from .raster2 import ORACLE_TILE_STATS as ORACLE_DEM_ASCII_TILE_STATS  # noqa: E402
+
+QUERIES["dem_ascii_tile_stats"] = q_dem_ascii_tile_stats
+ORACLES["dem_ascii_tile_stats"] = ORACLE_DEM_ASCII_TILE_STATS

@@ -66,3 +66,37 @@ def test_overlay_exact_matches_formula(spark):
     for r in out:
         want = ((r.gx * 7919 + r.gy * 104729) % 4000) / 10.0
         assert r.elev == want
+
+
+def test_gridascii_roundtrip(spark):
+    """ESRI ASCII grid writer/reader: north-to-south file order flips back
+    to SW-row-major; one-decimal values parse bit-identically."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from geospatial_analysis_integrity_tool_spark.sources.dem import (
+        read_gridascii,
+        write_gridascii,
+    )
+
+    d = tempfile.mkdtemp(prefix="gait_asc_")
+    grid = np.array([[0.1, 1.2, 2.3], [10.0, 11.1, 12.2]])  # row 0 = south
+    write_gridascii(os.path.join(d, "t.asc"), grid, x0=10.0, y0=40.0, cellsize=0.01)
+    row = read_gridascii(spark, d + "/*.asc").collect()[0]
+    assert (row.ncols, row.nrows) == (3, 2)
+    assert (row.x0, row.y0, row.cellsize) == (10.0, 40.0, 0.01)
+    assert row.elevs == [0.1, 1.2, 2.3, 10.0, 11.1, 12.2]
+
+
+def test_gridascii_rejects_truncated(spark):
+    import pytest as _pytest
+
+    from geospatial_analysis_integrity_tool_spark.sources.dem import (
+        parse_gridascii_bytes,
+    )
+
+    bad = b"ncols 3\nnrows 2\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n1 2 3\n"
+    with _pytest.raises(ValueError, match="expected 6 posts"):
+        parse_gridascii_bytes(bad, "t")
