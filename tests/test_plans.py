@@ -98,3 +98,88 @@ def test_stream_extract_matches_batch(spark):
     p2 = synth_pages(spark, 120).filter(F.split(F.col("url"), "/")[5].cast("long") >= 60)
     b2 = extract_features(p2).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, b1 + b2))
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    """Stateful applyInPandasWithState dedup: a condition re-detected in a
+    LATER micro-batch is suppressed; each identity emits exactly once."""
+    import pandas as pd
+
+    from geospatial_analysis_integrity_tool_spark.streaming.stateful import (
+        dedup_first_seen,
+    )
+
+    src = tmp_path / "conds_in"
+    src.mkdir()
+    # batch files processed one per trigger: B repeats across batches
+    pd.DataFrame(
+        {"errtype": ["KINK", "SEGLEN"], "feature_id": [1, 2], "magnitude_mm": [100, 200]}
+    ).to_parquet(src / "b1.parquet")
+    pd.DataFrame(
+        {"errtype": ["SEGLEN", "LOOPS"], "feature_id": [2, 3], "magnitude_mm": [200, 300]}
+    ).to_parquet(src / "b2.parquet")
+
+    stream = (
+        spark.readStream.schema("errtype string, feature_id long, magnitude_mm long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = dedup_first_seen(
+        stream, key_cols=["errtype", "feature_id"], payload_cols=["magnitude_mm"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.errtype, r.feature_id, r.magnitude_mm)
+        for r in spark.sql("SELECT * FROM dedup_out").collect()
+    }
+    assert rows == {("KINK", 1, 100), ("SEGLEN", 2, 200), ("LOOPS", 3, 300)}
+
+
+def test_condition_shapefile_export_roundtrip(spark, tmp_path):
+    """SEEIT_ExportShapefile parity: PT + LN condition shapefiles with the
+    reference DBF field roster, read back through the binary readers."""
+    from geospatial_analysis_integrity_tool_spark.conditions import (
+        export_condition_shapefiles,
+    )
+    from geospatial_analysis_integrity_tool_spark.sources.shapefile import (
+        read_dbf,
+        read_shp,
+    )
+
+    rows = [
+        ("KINK", 1, 1, 12345, "AP030", None, "7", "PT", "apex", "MGCP3", 0,
+         11, 10.5, 40.5, None, None),
+        ("SLIVER", 1, 1, 999, "FA000", "AL015", "8", "PT", "", "MGCP3", 1,
+         12, 10.6, 40.6, None, None),
+        ("LLINT", 2, 1, 777, "AT030", "AN010", "9", "LN", "xing", "MGCP3", 0,
+         13, None, None, [10.0, 10.1], [40.0, 40.05]),
+    ]
+    conds = spark.createDataFrame(
+        rows,
+        "errtype string, instance int, cond_num long, magnitude_mm long,"
+        " code1 string, code2 string, sedrisid string, geom_kind string,"
+        " annotation string, attrschema string, retainign int, cell long,"
+        " px double, py double, xs array<double>, ys array<double>",
+    )
+    out = str(tmp_path / "export")
+    counts = export_condition_shapefiles(conds, out, name="gait")
+    assert counts == {"PT": 2, "LN": 1}
+
+    pts = read_shp(spark, out + "/gaitPT.shp").collect()
+    assert sorted((r.xs[0], r.ys[0]) for r in pts) == [(10.5, 40.5), (10.6, 40.6)]
+    lns = read_shp(spark, out + "/gaitLN.shp").collect()
+    assert list(zip(lns[0].xs, lns[0].ys)) == [(10.0, 40.0), (10.1, 40.05)]
+
+    dbf = {(r.recno, r.attr): r.value for r in read_dbf(spark, out + "/gaitPT.dbf").collect()}
+    assert dbf[(1, "ERRTYPE")] == "KINK"
+    assert dbf[(1, "MAGNITUDE")] == "12.345"
+    assert dbf[(2, "RETAINIGN")] == "1"
+    assert dbf[(1, "CODE1")] == "AP030"
