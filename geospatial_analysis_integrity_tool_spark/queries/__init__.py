@@ -10,9 +10,9 @@ def all_queries():
         attrchecks,
         checks2,
         checks3,
-        edgematchq,
         conditionspipe,
         coverage2,
+        demchecks2,
         edgematchq,
         embeddings,
         geometry,
@@ -30,8 +30,8 @@ def all_queries():
         sensq,
         shpq,
         specq,
-        uomq,
         textops,
+        uomq,
         vgeomq,
     )
 
@@ -48,6 +48,7 @@ def all_queries():
         vgeomq,
         raster2,
         rastermask,
+        demchecks2,
         coverage2,
         checks2,
         checks3,
