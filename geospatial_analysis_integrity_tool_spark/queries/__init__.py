@@ -8,6 +8,7 @@ from __future__ import annotations
 def all_queries():
     from . import (
         attrchecks,
+        attrisf,
         checks2,
         checks3,
         conditionspipe,
@@ -15,6 +16,7 @@ def all_queries():
         demchecks2,
         edgematchq,
         embeddings,
+        endptq,
         geometry,
         metadataq,
         misc,
@@ -43,6 +45,7 @@ def all_queries():
         textops,
         embeddings,
         attrchecks,
+        attrisf,
         conditionspipe,
         overlay,
         vgeomq,
@@ -53,6 +56,7 @@ def all_queries():
         checks2,
         checks3,
         edgematchq,
+        endptq,
         networksq,
         negationq,
         metadataq,
