@@ -20,6 +20,7 @@ def all_queries():
         geometry,
         metadataq,
         misc,
+        morechecks,
         negationq,
         networksq,
         nonsql,
@@ -59,6 +60,7 @@ def all_queries():
         endptq,
         networksq,
         negationq,
+        morechecks,
         metadataq,
         misc,
         uomq,
