@@ -143,14 +143,23 @@ def export_condition_shapefiles(
 
     ``conditions`` needs CONDITION_COLUMNS plus geometry: ``px, py`` for PT
     rows; ``xs, ys`` arrays for LN rows.  A shapefile is a bounded
-    single-file format (2 GB cap), so the export legitimately materializes
-    on the driver, ordered by (errtype, instance, cond_num) — the
-    deterministic record order that IS the reference's parity contract.
+    single-file format (2 GB cap), so ONE driver-side file writer is
+    inherent — but the condition set is NOT materialized: records stream
+    through ``toLocalIterator()`` over the frame sorted by (errtype,
+    instance, cond_num) — the deterministic record order that IS the
+    reference's parity contract — and the .shp/.dbf headers are patched
+    after the last record.  Peak driver memory is one partition's Arrow
+    batch, so a 10^8-condition export cannot OOM the driver.
     Returns {kind: record count}.
     """
     import os
 
-    from .sources.shapefile import write_dbf, write_point_shp, write_polyline_shp
+    from .sources.shapefile import (
+        SHPT_POINT,
+        SHPT_POLYLINE,
+        DbfStreamWriter,
+        ShpStreamWriter,
+    )
 
     os.makedirs(out_dir, exist_ok=True)
     fields = [
@@ -183,29 +192,26 @@ def export_condition_shapefiles(
     order = ["errtype", "instance", "cond_num"]
     counts: dict[str, int] = {}
 
-    pt = (
-        conditions.filter(F.col("geom_kind") == "PT")
-        .orderBy(*order)
-        .collect()
-    )
-    if pt:
-        write_point_shp(
-            os.path.join(out_dir, f"{name}PT.shp"),
-            [(r["px"], r["py"]) for r in pt],
+    for kind, stype in (("PT", SHPT_POINT), ("LN", SHPT_POLYLINE)):
+        # toLocalIterator on a sorted frame yields partitions in range order,
+        # so record order matches orderBy without collecting the frame
+        it = (
+            conditions.filter(F.col("geom_kind") == kind)
+            .orderBy(*order)
+            .toLocalIterator()
         )
-        write_dbf(os.path.join(out_dir, f"{name}PT.dbf"), fields, [attrs(r) for r in pt])
-    counts["PT"] = len(pt)
-
-    ln = (
-        conditions.filter(F.col("geom_kind") == "LN")
-        .orderBy(*order)
-        .collect()
-    )
-    if ln:
-        write_polyline_shp(
-            os.path.join(out_dir, f"{name}LN.shp"),
-            [list(zip(r["xs"], r["ys"])) for r in ln],
-        )
-        write_dbf(os.path.join(out_dir, f"{name}LN.dbf"), fields, [attrs(r) for r in ln])
-    counts["LN"] = len(ln)
+        shp = ShpStreamWriter(os.path.join(out_dir, f"{name}{kind}.shp"), stype)
+        dbf = DbfStreamWriter(os.path.join(out_dir, f"{name}{kind}.dbf"), fields)
+        for r in it:
+            if kind == "PT":
+                shp.add_point(r["px"], r["py"])
+            else:
+                shp.add_multipart([list(zip(r["xs"], r["ys"]))])
+            dbf.add(attrs(r))
+        shp.close()
+        dbf.close()
+        counts[kind] = shp.n
+        if shp.n == 0:
+            os.remove(os.path.join(out_dir, f"{name}{kind}.shp"))
+            os.remove(os.path.join(out_dir, f"{name}{kind}.dbf"))
     return counts

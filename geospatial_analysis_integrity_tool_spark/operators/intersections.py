@@ -118,6 +118,38 @@ def segments_of_lines(
     )
 
 
+def segments_of_vertices(
+    v: DataFrame,
+    id_col: str = "line_id",
+    vidx: str = "vidx",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Long-form vertex table (id, vidx, x, y) -> one row per segment.
+
+    ``lead`` over (id ORDER BY vidx) — one shuffle, no array round-trip.
+    Row-identical to ``segments_of_lines(vertices_to_lines(v))`` when vidx is
+    0-based consecutive (seg_idx = vidx + 1), but skips the
+    collect_list/array_sort/posexplode detour, which at sf0.1 costs ~2x the
+    window pass.  Use this when the source is already long-form (the
+    native vertex model); keep the array path for array-form inputs.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(vidx)
+    return (
+        v.select(
+            F.col(id_col).alias("line_id"),
+            (F.col(vidx) + 1).alias("seg_idx"),
+            F.col(x).alias("sax"),
+            F.col(y).alias("say"),
+            F.lead(x).over(w).alias("sbx"),
+            F.lead(y).over(w).alias("sby"),
+        )
+        .filter(F.col("sbx").isNotNull())
+    )
+
+
 def _left_side(df):
     # column names match sql_proper_cross: segment A = (_ax,_ay)-(_bx,_by)
     return df.select(
@@ -271,6 +303,11 @@ def self_intersections(lines: DataFrame, id_col: str = "line_id") -> DataFrame:
     properly cross; they are excluded declaratively (seg_b > seg_a + 1).
     """
     segs = segments_of_lines(lines, id_col)
+    return self_intersections_of_segments(segs)
+
+
+def self_intersections_of_segments(segs: DataFrame) -> DataFrame:
+    """LOOPS over a pre-built segment relation (see :func:`self_intersections`)."""
     a = segs.select(
         F.col("line_id"),
         F.col("seg_idx").alias("seg_a"),

@@ -123,12 +123,15 @@ def pip_join(
     array-shipping variant instead of dying on a driver collect.
     """
     est = polys.select(
-        F.sum(F.size(F.col(xs))).alias("nv"), F.count("*").alias("np")
+        F.max(F.size(F.col(xs))).alias("mv"), F.count("*").alias("np")
     ).first()
-    nv, npoly = (est["nv"] or 0), (est["np"] or 0)
-    # padded numpy matrices: 2 coords x 8 bytes x (polys x max_verts) upper
-    # bound approximated by 4x the raw vertex count (padding skew allowance)
-    if 64 * max(nv, npoly) > broadcast_max_vertex_bytes:
+    max_verts, npoly = (est["mv"] or 0), (est["np"] or 0)
+    # pad_rings builds dense (n_polys x max_verts) float64 matrices for x and
+    # y, so the broadcast is n_polys * max_verts * 16 bytes REGARDLESS of the
+    # total vertex count — one 10k-vertex coastline among a million small
+    # rings makes the padded matrix 10k wide for every row.  Route on the
+    # true padded size, not the vertex sum.
+    if npoly * max_verts * 16 > broadcast_max_vertex_bytes:
         return pip_join_shipped(
             points, polys, point_id, lon, lat, poly_id, xs, ys, cell_deg
         )

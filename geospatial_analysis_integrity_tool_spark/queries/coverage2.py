@@ -144,11 +144,10 @@ def q_pseudo_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-node candidates (AddPseudoNodesAtIntersections
     moregeomchecks.c:4354): per-line count of proper crossings — runs on the
     variable-vertex fixture via the array-native intersection operator."""
-    from ..operators.intersections import line_intersections, vertices_to_lines
+    from ..operators.intersections import segment_intersections, segments_of_vertices
 
     register_geo_views(spark, sf_dir)
-    lines = vertices_to_lines(spark.table("geo_vlines"))
-    x = line_intersections(lines, cell_deg=0.01)
+    x = segment_intersections(segments_of_vertices(spark.table("geo_vlines")), cell_deg=0.01)
     both = x.select(F.col("id_a").alias("line_id")).unionAll(
         x.select(F.col("id_b").alias("line_id"))
     )

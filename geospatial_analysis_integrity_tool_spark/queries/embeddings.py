@@ -74,11 +74,12 @@ FROM ranked WHERE rank <= {TOPK_K}
 
 # --- embedding_near_dup: cosine >= 0.9 pairs on the augmented corpus ----------
 #
-# Default (scale path): hyperplane-LSH buckets + Hamming-ball multiprobe +
-# within-bucket exact cosine — pure JVM, no driver collect, no corpus
-# broadcast.  The oracle mirrors the bucketing bit-for-bit: signatures are
-# integer sums over quantized components, so both engines derive identical
-# buckets; the final cosine threshold sits in the fixture's empty margin.
+# Default (scale path): banded hyperplane-LSH buckets (candidate iff some
+# band of sign bits matches exactly) + exact-cosine refine in one
+# mapInPandas matmul — no driver collect, no corpus broadcast.  The oracle
+# mirrors the bucketing bit-for-bit: signatures are integer sums over
+# quantized components, so both engines derive identical buckets; the final
+# cosine threshold sits in the fixture's empty margin.
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import near_dup_pairs_lsh
 
@@ -87,24 +88,27 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
-    from ..operators.ann import N_HYPERPLANES, signature_sql
+    from ..operators.ann import LSH_BAND_BITS, LSH_BANDS, signature_sql
 
     bits = signature_sql("embedding[{i}]", 64)
     bit_cols = ", ".join(f"{b} AS b{j}" for j, b in enumerate(bits))
-    sig = " + ".join(f"b{j} * {1 << j}" for j in range(N_HYPERPLANES))
-    probe_list = ", ".join(
-        ["sig"] + [f"sig + (1 - 2 * b{j}) * {1 << j}" for j in range(N_HYPERPLANES)]
+    band_keys = ", ".join(
+        " + ".join(
+            [str(band << LSH_BAND_BITS)]
+            + [
+                f"b{band * LSH_BAND_BITS + j} * {1 << j}"
+                for j in range(LSH_BAND_BITS)
+            ]
+        )
+        for band in range(LSH_BANDS)
     )
     return f"""
 WITH {_EMB_AUG_DUCK.strip()},
 bits AS (
   SELECT vec_id, {bit_cols} FROM emb_aug
 ),
-sigs AS (
-  SELECT vec_id, {sig} AS sig, * EXCLUDE (vec_id) FROM bits
-),
 probes AS (
-  SELECT vec_id, unnest([{probe_list}]) AS bucket FROM sigs
+  SELECT vec_id, unnest([{band_keys}]) AS bucket FROM bits
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.geodesy import sql_point_seg_dist_m
-from ..operators.intersections import segments_of_lines, vertices_to_lines
+from ..operators.intersections import segments_of_vertices
 from ..sources.synthetic import oracle_cte, register_geo_views
 
 SELF_TOUCH_TOL_M = 15.0
@@ -30,8 +30,7 @@ REGION = (10.0, 14.0, 40.0, 44.0)  # lon_min, lon_max, lat_min, lat_max
 def q_endpoint_self_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
     v = spark.table("geo_vlines")
-    lines = vertices_to_lines(v)
-    segs = segments_of_lines(lines)
+    segs = segments_of_vertices(v)
     nv = v.groupBy("line_id").agg(F.count("*").alias("_n"))
     ends = (
         v.join(nv, "line_id")

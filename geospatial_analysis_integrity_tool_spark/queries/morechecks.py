@@ -8,10 +8,17 @@
 * ``geo_isolated_areas`` — ISOLATEDA 116: areals that intersect NOTHING
   (anti-join against the overlap pairs on the same augmented set).
 * ``geo_feat_length_checks`` — SHORTFEAT 4 / LONGFEAT 7: per-feature total
-  length thresholds, computed as exact integer micro-degree Manhattan sums
-  over the variable-vertex lines.
-* ``geo_area_size_checks`` — SMALLAREA 3 / BIGAREA 5: outer-ring shoelace
-  area (exact integer) against thresholds.
+  length thresholds in GAIT's local equirectangular METERS frame
+  (meters-per-degree-longitude = 111319.5 * cos(avg_lat), TT.c:4252-4264)
+  with 3-decimal truncation (TT.c:709) — each segment length truncates to
+  integer millimeters before the per-feature sum, so the sum is exact
+  integer arithmetic (order-free across both engines) while the magnitude
+  is the meters GAIT reports (per-segment-truncation error <= n_segs mm).
+* ``geo_area_size_checks`` — SMALLAREA 3 / BIGAREA 5: outer-ring area in
+  GAIT's frame (CalculateGeodeticCoordArea TT.c:4200): the shoelace sum is
+  exact integer micro-degree^2, converted to m^2 by ONE deterministic
+  multiply (mlon * mlat * 1e-12 / 2) at the ring's quantized average
+  latitude, then 3-decimal-truncated.
 
 Reference drivers: PerformLinearRelatedChecks geomchecks.c:12715 (LLINT
 family), PerformArealRelatedChecks :39633 (ISOLATEDA), errors.c size-check
@@ -23,15 +30,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.intersections import line_intersections, vertices_to_lines
+from ..functions.geodesy import sql_coslat_poly, sql_dist_m, sql_trunc3_mm
+from ..operators.intersections import segment_intersections, segments_of_vertices
 from ..sources.synthetic import GEO_VIEWS, oracle_cte, register_geo_views
 from .vgeomq import CELL, ORACLE_LLINT_V
 
-NODE_TOL_UDEG = 300        # crossing counts as "at a node" within ~33 m
-SHORTFEAT_UDEG = 3000      # total Manhattan < ~0.003 deg
-LONGFEAT_UDEG = 60000      # total Manhattan > ~0.06 deg
-SMALLAREA_UDEG2 = 10_000_000       # |2A| below 1e7 udeg^2 (~0.005 km^2)
-BIGAREA_UDEG2 = 80_000_000         # |2A| above 8e7 udeg^2
+NODE_TOL_M = 33.0          # crossing counts as "at a node" within 33 m
+                           # (GAIT local-frame meters, TT.c:4252-4264)
+SHORTFEAT_MM = 250_000         # total length < 250 m (integer millimeters)
+LONGFEAT_MM = 5_000_000        # total length > 5 km
+SMALLAREA_MM2 = 46_000_000     # outer-ring area < 46,000 m^2 (milli-m^2)
+BIGAREA_MM2 = 370_000_000      # outer-ring area > 370,000 m^2
 
 
 # --- geo_multi_intersections (LLMULTINT 114) -----------------------------------
@@ -39,8 +48,8 @@ BIGAREA_UDEG2 = 80_000_000         # |2A| above 8e7 udeg^2
 
 def q_multi_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
-    x = line_intersections(
-        vertices_to_lines(spark.table("geo_vlines")), cell_deg=CELL
+    x = segment_intersections(
+        segments_of_vertices(spark.table("geo_vlines")), cell_deg=CELL
     )
     return (
         x.groupBy("id_a", "id_b")
@@ -62,7 +71,7 @@ FROM llint GROUP BY 1, 2 HAVING COUNT(*) > 1
 def q_cross_away_from_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
     v = spark.table("geo_vlines")
-    x = line_intersections(vertices_to_lines(v), cell_deg=CELL)
+    x = segment_intersections(segments_of_vertices(v), cell_deg=CELL)
     nv = v.groupBy("line_id").agg(F.count("*").alias("_n"))
     ends = (
         v.join(nv, "line_id")
@@ -73,22 +82,20 @@ def q_cross_away_from_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(y * 1000000.0) AS BIGINT) AS ey",
         )
     )
+    # meter-frame node distance (both engines evaluate the same text over
+    # integer-derived doubles, so the decision is bit-identical)
+    node_dist = sql_dist_m(
+        "(CAST(ix_udeg AS DOUBLE) * 1e-6)", "(CAST(iy_udeg AS DOUBLE) * 1e-6)",
+        "(CAST(ex AS DOUBLE) * 1e-6)", "(CAST(ey AS DOUBLE) * 1e-6)",
+    )
     near_a = (
         x.join(ends, x["id_a"] == ends["line_id"])
-        .filter(
-            F.expr(
-                f"abs(ix_udeg - ex) + abs(iy_udeg - ey) < {NODE_TOL_UDEG}"
-            )
-        )
+        .filter(F.expr(f"{node_dist} < {NODE_TOL_M}"))
         .select("id_a", "id_b", "seg_a", "seg_b")
     )
     near_b = (
         x.join(ends, x["id_b"] == ends["line_id"])
-        .filter(
-            F.expr(
-                f"abs(ix_udeg - ex) + abs(iy_udeg - ey) < {NODE_TOL_UDEG}"
-            )
-        )
+        .filter(F.expr(f"{node_dist} < {NODE_TOL_M}"))
         .select("id_a", "id_b", "seg_a", "seg_b")
     )
     near = near_a.unionByName(near_b).dropDuplicates(
@@ -115,7 +122,8 @@ FROM llint x
 WHERE NOT EXISTS (
   SELECT 1 FROM ends e
   WHERE (e.line_id = x.id_a OR e.line_id = x.id_b)
-    AND abs(x.ix_udeg - e.ex) + abs(x.iy_udeg - e.ey) < {NODE_TOL_UDEG}
+    AND {sql_dist_m('(CAST(x.ix_udeg AS DOUBLE) * 1e-6)', '(CAST(x.iy_udeg AS DOUBLE) * 1e-6)',
+                    '(CAST(e.ex AS DOUBLE) * 1e-6)', '(CAST(e.ey AS DOUBLE) * 1e-6)')} < {NODE_TOL_M}
 )
 """
 
@@ -151,73 +159,99 @@ WHERE NOT EXISTS (SELECT 1 FROM ov WHERE ov.id_a = a.area_id OR ov.id_b = a.area
 
 
 # --- geo_feat_length_checks (SHORTFEAT 4 / LONGFEAT 7) -------------------------
+#
+# GAIT measures feature length in its local equirectangular meters frame
+# (TT.c:4252-4264) and truncates magnitudes to 3 decimals (TT.c:709).  The
+# dual-engine form truncates EACH segment to integer millimeters, then sums
+# exact integers — order-free, so Spark's shuffled aggregation and DuckDB's
+# scan order agree to the bit; the magnitude is GAIT's meters to within
+# n_segs mm.
 
-_MANH_SEG = (
-    "abs(CAST(floor(b.x * 1000000.0) AS BIGINT) - CAST(floor(a.x * 1000000.0) AS BIGINT))"
-    " + abs(CAST(floor(b.y * 1000000.0) AS BIGINT) - CAST(floor(a.y * 1000000.0) AS BIGINT))"
-)
+#: per-segment truncated length (mm) — shared SQL text, cols sax/say/sbx/sby
+_SEG_MM = sql_trunc3_mm(sql_dist_m("sax", "say", "sbx", "sby"))
 
 
 def q_feat_length_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.intersections import segments_of_lines
-
     register_geo_views(spark, sf_dir)
-    segs = segments_of_lines(vertices_to_lines(spark.table("geo_vlines")))
-    lengths = segs.selectExpr(
-        "line_id",
-        "abs(CAST(floor(sbx * 1000000.0) AS BIGINT) - CAST(floor(sax * 1000000.0) AS BIGINT))"
-        " + abs(CAST(floor(sby * 1000000.0) AS BIGINT) - CAST(floor(say * 1000000.0) AS BIGINT))"
-        " AS seg_udeg",
-    ).groupBy("line_id").agg(F.sum("seg_udeg").alias("len_udeg"))
+    segs = segments_of_vertices(spark.table("geo_vlines"))
+    lengths = (
+        segs.selectExpr("line_id", f"{_SEG_MM} AS seg_mm")
+        .groupBy("line_id")
+        .agg(F.sum("seg_mm").alias("len_mm"))
+    )
     return (
         lengths.withColumn(
             "errtype",
             F.expr(
-                f"CASE WHEN len_udeg < {SHORTFEAT_UDEG} THEN 'SHORTFEAT'"
-                f" WHEN len_udeg > {LONGFEAT_UDEG} THEN 'LONGFEAT' END"
+                f"CASE WHEN len_mm < {SHORTFEAT_MM} THEN 'SHORTFEAT'"
+                f" WHEN len_mm > {LONGFEAT_MM} THEN 'LONGFEAT' END"
             ),
         )
         .filter(F.col("errtype").isNotNull())
-        .selectExpr("line_id", "errtype", "CAST(len_udeg AS BIGINT) AS len_udeg")
+        .selectExpr("line_id", "errtype", "CAST(len_mm AS BIGINT) AS len_mm")
     )
 
 
 ORACLE_FEAT_LENGTH = f"""
 {oracle_cte('geo_vlines')},
 segs AS (
-  SELECT a.line_id, {_MANH_SEG} AS seg_udeg
+  SELECT a.line_id,
+         a.x AS sax, a.y AS say, b.x AS sbx, b.y AS sby
   FROM geo_vlines a
   JOIN geo_vlines b ON a.line_id = b.line_id AND b.vidx = a.vidx + 1
 ),
 lens AS (
-  SELECT line_id, CAST(SUM(seg_udeg) AS BIGINT) AS len_udeg FROM segs GROUP BY 1
+  SELECT line_id, CAST(SUM({_SEG_MM}) AS BIGINT) AS len_mm FROM segs GROUP BY 1
 )
 SELECT line_id,
-       CASE WHEN len_udeg < {SHORTFEAT_UDEG} THEN 'SHORTFEAT'
-            WHEN len_udeg > {LONGFEAT_UDEG} THEN 'LONGFEAT' END AS errtype,
-       len_udeg
+       CASE WHEN len_mm < {SHORTFEAT_MM} THEN 'SHORTFEAT'
+            WHEN len_mm > {LONGFEAT_MM} THEN 'LONGFEAT' END AS errtype,
+       len_mm
 FROM lens
-WHERE len_udeg < {SHORTFEAT_UDEG} OR len_udeg > {LONGFEAT_UDEG}
+WHERE len_mm < {SHORTFEAT_MM} OR len_mm > {LONGFEAT_MM}
 """
 
 
 # --- geo_area_size_checks (SMALLAREA 3 / BIGAREA 5) ----------------------------
 
 
+# ring's average latitude from exact integer micro-degree sums (order-free),
+# then ONE deterministic multiply chain converts the exact integer shoelace
+# (udeg^2) to m^2 in GAIT's frame: 0.5 * mlon * mlat * 1e-12
+_AVG_LAT_SQL = (
+    "CAST(SUM(CAST(floor(y * 1000000.0) AS BIGINT)) AS DOUBLE)"
+    " / (COUNT(*) * 1000000.0)"
+)
+_AREA_M2_SQL = (
+    "CAST(abs(area2_udeg2) AS DOUBLE)"
+    f" * (111319.5 * {sql_coslat_poly('avg_lat')})"
+    " * 111319.5 * 0.0000000000005"
+)
+_AREA_MM2_SQL = sql_trunc3_mm(_AREA_M2_SQL)
+
+
 def q_area_size_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sensq import q_ring_winding
 
     winding = q_ring_winding(spark, sf_dir).filter("ring = 0")
+    lat = (
+        spark.table("geo_vareas")
+        .filter("ring = 0")
+        .groupBy("area_id")
+        .agg(F.expr(_AVG_LAT_SQL).alias("avg_lat"))
+    )
     return (
-        winding.withColumn(
+        winding.join(lat, "area_id")
+        .withColumn("area_mm2", F.expr(_AREA_MM2_SQL))
+        .withColumn(
             "errtype",
             F.expr(
-                f"CASE WHEN abs(area2_udeg2) < {SMALLAREA_UDEG2} THEN 'SMALLAREA'"
-                f" WHEN abs(area2_udeg2) > {BIGAREA_UDEG2} THEN 'BIGAREA' END"
+                f"CASE WHEN area_mm2 < {SMALLAREA_MM2} THEN 'SMALLAREA'"
+                f" WHEN area_mm2 > {BIGAREA_MM2} THEN 'BIGAREA' END"
             ),
         )
         .filter(F.col("errtype").isNotNull())
-        .selectExpr("area_id", "errtype", "abs(area2_udeg2) AS area2_udeg2")
+        .select("area_id", "errtype", "area_mm2")
     )
 
 
@@ -225,14 +259,23 @@ def _area_size_oracle() -> str:
     from .sensq import ORACLE_RING_WINDING
 
     return f"""
-WITH winding AS ({ORACLE_RING_WINDING})
+WITH winding AS ({ORACLE_RING_WINDING}),
+{oracle_cte('geo_vareas').removeprefix('WITH ')},
+lat AS (
+  SELECT area_id, {_AVG_LAT_SQL} AS avg_lat
+  FROM geo_vareas WHERE ring = 0 GROUP BY area_id
+),
+sized AS (
+  SELECT w.area_id, {_AREA_MM2_SQL} AS area_mm2
+  FROM winding w JOIN lat USING (area_id)
+  WHERE w.ring = 0
+)
 SELECT area_id,
-       CASE WHEN abs(area2_udeg2) < {SMALLAREA_UDEG2} THEN 'SMALLAREA'
-            WHEN abs(area2_udeg2) > {BIGAREA_UDEG2} THEN 'BIGAREA' END AS errtype,
-       abs(area2_udeg2) AS area2_udeg2
-FROM winding
-WHERE ring = 0
-  AND (abs(area2_udeg2) < {SMALLAREA_UDEG2} OR abs(area2_udeg2) > {BIGAREA_UDEG2})
+       CASE WHEN area_mm2 < {SMALLAREA_MM2} THEN 'SMALLAREA'
+            WHEN area_mm2 > {BIGAREA_MM2} THEN 'BIGAREA' END AS errtype,
+       area_mm2
+FROM sized
+WHERE area_mm2 < {SMALLAREA_MM2} OR area_mm2 > {BIGAREA_MM2}
 """
 
 

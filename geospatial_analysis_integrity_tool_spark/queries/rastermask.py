@@ -305,11 +305,13 @@ ORACLES = {
 # from range() (same as raster_tile_stats) — any header/ordering/format
 # defect in the writer or reader changes the stats and fails the hash.
 
-_ASC_FIXTURE_DIR = "/tmp/gait_asc_fixture_v1"
-
-
-def write_asc_fixture(dirpath: str = _ASC_FIXTURE_DIR) -> str:
+def write_asc_fixture(dirpath: str | None = None) -> str:
     import os
+
+    from ..sources.fixtures import fixture_dir
+
+    if dirpath is None:
+        dirpath = fixture_dir("asc_v1")
 
     import numpy as np
 

@@ -128,24 +128,24 @@ SELECT * FROM (VALUES
 def q_ring_winding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shoelace 2*area per ring in udeg^2 (exact ints); winding from sign."""
     register_geo_views(spark, sf_dir)
+    from pyspark.sql.window import Window
+
     v = spark.table("geo_vareas").selectExpr(
         "area_id", "ring", "vidx",
         "CAST(floor(x * 1000000.0) AS BIGINT) AS xi",
         "CAST(floor(y * 1000000.0) AS BIGINT) AS yi",
     )
-    nv = v.groupBy("area_id", "ring").agg(F.count("*").alias("_n"))
-    w = v.select(
-        F.col("area_id").alias("_a2"),
-        F.col("ring").alias("_r2"),
-        F.col("vidx").alias("_widx"),
-        F.col("xi").alias("xj"),
-        F.col("yi").alias("yj"),
-    )
-    terms = (
-        v.join(nv, ["area_id", "ring"])
-        .join(w, (F.col("_a2") == F.col("area_id")) & (F.col("_r2") == F.col("ring")))
-        .filter(F.col("_widx") == (F.col("vidx") + 1) % F.col("_n"))
-        .selectExpr("area_id", "ring", "xi * yj - xj * yi AS cross_term")
+    # successor vertex via lead/first window (wraparound) — one shuffle, no
+    # n^2-per-ring self-join
+    wnd = Window.partitionBy("area_id", "ring").orderBy("vidx")
+    terms = v.select(
+        "area_id",
+        "ring",
+        (
+            F.col("xi") * F.coalesce(F.lead("yi").over(wnd), F.first("yi").over(wnd))
+            - F.coalesce(F.lead("xi").over(wnd), F.first("xi").over(wnd))
+            * F.col("yi")
+        ).alias("cross_term"),
     )
     return (
         terms.groupBy("area_id", "ring")

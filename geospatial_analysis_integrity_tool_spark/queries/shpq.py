@@ -22,11 +22,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.fixtures import fixture_dir
 from ..sources.shapefile import read_dbf, read_shp, write_dbf, write_polyline_shp
 from ..sources.synthetic import register_testdata_views
 
 N_FEATURES = 1000
-_FIXTURE_DIR = "/tmp/gait_shp_fixture_v1"
 
 _FCODES = ["AP030", "AT030", "BH140", "AN010", "AQ040"]
 
@@ -65,7 +65,9 @@ def _line(key: int) -> list[tuple[float, float]]:
     return [(x1, y1), (x2, y2), (x3, y3)]
 
 
-def write_fixture(dirpath: str = _FIXTURE_DIR, n: int = N_FEATURES) -> str:
+def write_fixture(dirpath: str | None = None, n: int = N_FEATURES) -> str:
+    if dirpath is None:
+        dirpath = fixture_dir("shp_v1")
     os.makedirs(dirpath, exist_ok=True)
     lines = [_line(k) for k in range(n)]
     write_polyline_shp(os.path.join(dirpath, "lines.shp"), lines)

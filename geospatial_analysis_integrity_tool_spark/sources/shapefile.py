@@ -62,38 +62,49 @@ def _header(shape_type: int, total_words: int, bbox: tuple[float, float, float, 
     )
 
 
-def write_point_shp(path: str, points: list[tuple[float, float]]) -> None:
-    records = b""
-    for i, (x, y) in enumerate(points, 1):
+class ShpStreamWriter:
+    """Incremental .shp writer: records stream to disk as they arrive; the
+    100-byte header (total length + bounding box) is patched on ``close``.
+
+    This is what lets the condition-shapefile export consume
+    ``toLocalIterator()`` instead of ``collect()`` — only one record is ever
+    resident on the driver (the .shp format is a single bounded file, so a
+    driver-side writer is inherent; materializing the whole condition SET is
+    not)."""
+
+    def __init__(self, path: str, shape_type: int):
+        self.shape_type = shape_type
+        self._f = open(path, "wb")
+        self._f.write(b"\x00" * 100)  # header placeholder, patched on close
+        self.n = 0
+        self._bbox: list[float] | None = None  # minx, miny, maxx, maxy
+
+    def _grow(self, xs: list[float], ys: list[float]) -> None:
+        if self._bbox is None:
+            self._bbox = [min(xs), min(ys), max(xs), max(ys)]
+        else:
+            b = self._bbox
+            b[0] = min(b[0], min(xs))
+            b[1] = min(b[1], min(ys))
+            b[2] = max(b[2], max(xs))
+            b[3] = max(b[3], max(ys))
+
+    def add_point(self, x: float, y: float) -> None:
+        self.n += 1
         content = struct.pack("<i2d", SHPT_POINT, x, y)
-        records += struct.pack(">ii", i, len(content) // 2) + content
-    xs = [p[0] for p in points] or [0.0]
-    ys = [p[1] for p in points] or [0.0]
-    total_words = (100 + len(records)) // 2
-    with open(path, "wb") as f:
-        f.write(_header(SHPT_POINT, total_words, (min(xs), min(ys), max(xs), max(ys))))
-        f.write(records)
+        self._f.write(struct.pack(">ii", self.n, len(content) // 2) + content)
+        self._grow([x], [y])
 
-
-def write_multipart_shp(
-    path: str,
-    shape_type: int,
-    shapes: list[list[list[tuple[float, ...]]]],
-) -> None:
-    """Write PolyLine/Polygon (optionally Z): shapes[i] = list of parts, each
-    part a list of (x, y) or (x, y, z) vertex tuples."""
-    has_z = shape_type in _Z_TYPES
-    records = b""
-    allx, ally = [0.0], [0.0]
-    for i, parts in enumerate(shapes, 1):
+    def add_multipart(self, parts: list[list[tuple[float, ...]]]) -> None:
+        has_z = self.shape_type in _Z_TYPES
+        self.n += 1
         pts = [p for part in parts for p in part]
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
-        allx += xs
-        ally += ys
+        self._grow(xs, ys)
         content = struct.pack(
             "<i4dii",
-            shape_type,
+            self.shape_type,
             min(xs), min(ys), max(xs), max(ys),
             len(parts), len(pts),
         )
@@ -108,16 +119,34 @@ def write_multipart_shp(
             content += struct.pack("<2d", min(zs), max(zs))
             for z in zs:
                 content += struct.pack("<d", z)
-        records += struct.pack(">ii", i, len(content) // 2) + content
-    total_words = (100 + len(records)) // 2
-    with open(path, "wb") as f:
-        f.write(
-            _header(
-                shape_type, total_words,
-                (min(allx), min(ally), max(allx), max(ally)),
-            )
-        )
-        f.write(records)
+        self._f.write(struct.pack(">ii", self.n, len(content) // 2) + content)
+
+    def close(self) -> None:
+        total_words = self._f.tell() // 2
+        bbox = tuple(self._bbox) if self._bbox else (0.0, 0.0, 0.0, 0.0)
+        self._f.seek(0)
+        self._f.write(_header(self.shape_type, total_words, bbox))
+        self._f.close()
+
+
+def write_point_shp(path: str, points: list[tuple[float, float]]) -> None:
+    w = ShpStreamWriter(path, SHPT_POINT)
+    for x, y in points:
+        w.add_point(x, y)
+    w.close()
+
+
+def write_multipart_shp(
+    path: str,
+    shape_type: int,
+    shapes: list[list[list[tuple[float, ...]]]],
+) -> None:
+    """Write PolyLine/Polygon (optionally Z): shapes[i] = list of parts, each
+    part a list of (x, y) or (x, y, z) vertex tuples."""
+    w = ShpStreamWriter(path, shape_type)
+    for parts in shapes:
+        w.add_multipart(parts)
+    w.close()
 
 
 def write_polyline_shp(path: str, lines: list[list[tuple[float, float]]]) -> None:
@@ -210,6 +239,60 @@ def read_shp(spark: SparkSession, path_glob: str) -> DataFrame:
 # --- .dbf attribute tables (dbfopen.c; public Xbase DBF layout) ----------------
 
 
+class DbfStreamWriter:
+    """Incremental dBASE III .dbf writer; the record count (header offset 4)
+    is patched on ``close``, so records can stream from ``toLocalIterator``."""
+
+    def __init__(self, path: str, fields: list[tuple[str, str, int, int]]):
+        self.fields = fields
+        hdr_size = 32 + 32 * len(fields) + 1
+        rec_size = 1 + sum(f[2] for f in fields)
+        self._f = open(path, "wb")
+        self._f.write(
+            struct.pack("<B3BIHH20x", 0x03, 95, 7, 26, 0, hdr_size, rec_size)
+        )
+        for name, ftype, flen, fdec in fields:
+            self._f.write(
+                struct.pack(
+                    "<11sc4xBB14x", name.encode()[:10].ljust(11, b"\x00"),
+                    ftype.encode(), flen, fdec,
+                )
+            )
+        self._f.write(b"\x0d")
+        self.n = 0
+
+    def add(self, rec: tuple) -> None:
+        self.n += 1
+        out = bytearray(b" ")  # not deleted
+        for (name, ftype, flen, fdec), val in zip(self.fields, rec):
+            if val is None:
+                s = b" " * flen
+            elif ftype == "C":
+                s = str(val).encode()[:flen].ljust(flen, b" ")
+            elif ftype in ("N", "F"):
+                # dBASE numeric overflow convention: a value wider than the
+                # field is written as '*'-fill (shapelib DBFWriteAttribute
+                # does the same), never silently left-truncated
+                rendered = (
+                    (f"%{flen}.{fdec}f" % float(val))
+                    if fdec
+                    else (f"%{flen}d" % int(val))
+                ).encode()
+                s = b"*" * flen if len(rendered) > flen else rendered
+            elif ftype == "L":
+                s = (b"T" if val else b"F").ljust(flen, b" ")
+            else:
+                s = str(val).encode()[:flen].ljust(flen, b" ")
+            out += s
+        self._f.write(bytes(out))
+
+    def close(self) -> None:
+        self._f.write(b"\x1a")
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", self.n))
+        self._f.close()
+
+
 def write_dbf(
     path: str,
     fields: list[tuple[str, str, int, int]],
@@ -220,37 +303,10 @@ def write_dbf(
     Values are rendered fixed-width ASCII exactly as shapelib's DBFWrite*
     family does (left-justified C, right-justified N).
     """
-    hdr_size = 32 + 32 * len(fields) + 1
-    rec_size = 1 + sum(f[2] for f in fields)
-    out = bytearray()
-    out += struct.pack(
-        "<B3BIHH20x", 0x03, 95, 7, 26, len(records), hdr_size, rec_size
-    )
-    for name, ftype, flen, fdec in fields:
-        out += struct.pack(
-            "<11sc4xBB14x", name.encode()[:10].ljust(11, b"\x00"),
-            ftype.encode(), flen, fdec,
-        )
-    out += b"\x0d"
+    w = DbfStreamWriter(path, fields)
     for rec in records:
-        out += b" "  # not deleted
-        for (name, ftype, flen, fdec), val in zip(fields, rec):
-            if val is None:
-                s = b" " * flen
-            elif ftype == "C":
-                s = str(val).encode()[:flen].ljust(flen, b" ")
-            elif ftype in ("N", "F"):
-                s = (f"%{flen}.{fdec}f" % float(val)).encode()[-flen:] if fdec else (
-                    f"%{flen}d" % int(val)
-                ).encode()[-flen:]
-            elif ftype == "L":
-                s = (b"T" if val else b"F").ljust(flen, b" ")
-            else:
-                s = str(val).encode()[:flen].ljust(flen, b" ")
-            out += s
-    out += b"\x1a"
-    with open(path, "wb") as f:
-        f.write(bytes(out))
+        w.add(rec)
+    w.close()
 
 
 def parse_dbf_bytes(data: bytes, source: str) -> pd.DataFrame:
