@@ -361,3 +361,90 @@ from .raster2 import ORACLE_TILE_STATS as ORACLE_DEM_ASCII_TILE_STATS  # noqa: E
 
 QUERIES["dem_ascii_tile_stats"] = q_dem_ascii_tile_stats
 ORACLES["dem_ascii_tile_stats"] = ORACLE_DEM_ASCII_TILE_STATS
+
+
+# --- dem_dted_tile_stats: DTED import round trip --------------------------------
+#
+# Six 1-degree DTED cells (lon 10..12 x lat 40..41, 40x40 posts, DTED-shaped
+# binary: UHL/DSI/ACC + checksummed big-endian records, signed-magnitude
+# negatives planted) are written by sources/dem.write_dted, read back through
+# the DISTRIBUTED read_dted kernel, and reduced to exact integer per-cell
+# stats.  The oracle re-derives the same stats closed-form from range() —
+# any header-offset, byte-order, sign-decode, transpose, or checksum defect
+# in the writer/reader changes the hash.  Reference: dted_import.c (UHL
+# conversion :218-230; record loop :776-806).
+
+DTED_POSTS = 40
+DTED_NX = 3    # cells east-west
+DTED_NY = 2    # cells north-south
+#: elevation formula per (cell tx, ty, lon post c, lat post r) — spans
+#: negatives to exercise the signed-magnitude decode
+_DTED_ELEV = "((tx * 331 + ty * 757 + c * 7919 + r * 104729) % 3000) - 500"
+
+
+def write_dted_fixture(dirpath: str | None = None) -> str:
+    import os
+
+    import numpy as np
+
+    from ..sources.dem import write_dted
+    from ..sources.fixtures import fixture_dir
+
+    if dirpath is None:
+        dirpath = fixture_dir("dted_v1")
+    if os.path.exists(os.path.join(dirpath, "_done")):
+        return dirpath
+    os.makedirs(dirpath, exist_ok=True)
+    c = np.arange(DTED_POSTS, dtype=np.int64)[None, :]   # lon posts
+    r = np.arange(DTED_POSTS, dtype=np.int64)[:, None]   # lat posts (row 0 = S)
+    for tx in range(DTED_NX):
+        for ty in range(DTED_NY):
+            elevs = ((tx * 331 + ty * 757 + c * 7919 + r * 104729) % 3000) - 500
+            write_dted(
+                os.path.join(dirpath, f"cell_{tx}_{ty}.dt1"),
+                elevs,
+                lon_deg=10 + tx,
+                lat_deg=40 + ty,
+            )
+    open(os.path.join(dirpath, "_done"), "w").write("ok")
+    return dirpath
+
+
+def q_dem_dted_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.dem import read_dted
+
+    d = write_dted_fixture()
+    tiles = read_dted(spark, d + "/*.dt1")
+    return tiles.selectExpr(
+        "CAST(round(x0 - 10.0) AS INT) AS tx",
+        "CAST(round(y0 - 40.0) AS INT) AS ty",
+        "CAST(ncols AS BIGINT) * CAST(nrows AS BIGINT) AS n_posts",
+        "CAST(xspace_dsec AS BIGINT) AS xspace_dsec",
+        "CAST(aggregate(elevs, 0L, (acc, e) -> acc + e) AS BIGINT) AS sum_elev",
+        "CAST(aggregate(elevs, CAST(-100000 AS BIGINT), (acc, e) ->"
+        " greatest(acc, e)) AS BIGINT) AS max_elev",
+        "CAST(aggregate(elevs, CAST(100000 AS BIGINT), (acc, e) ->"
+        " least(acc, e)) AS BIGINT) AS min_elev",
+    )
+
+
+ORACLE_DEM_DTED_TILE_STATS = f"""
+WITH grid AS (
+  SELECT t.tx, t.ty, c.c, r.r, {_DTED_ELEV} AS e
+  FROM (SELECT tx_i AS tx, ty_i AS ty
+        FROM (SELECT unnest(range(0, {DTED_NX})) AS tx_i),
+             (SELECT unnest(range(0, {DTED_NY})) AS ty_i)) t,
+       (SELECT unnest(range(0, {DTED_POSTS})) AS c) c,
+       (SELECT unnest(range(0, {DTED_POSTS})) AS r) r
+)
+SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       CAST(COUNT(*) AS BIGINT) AS n_posts,
+       CAST(300 AS BIGINT) AS xspace_dsec,
+       CAST(SUM(e) AS BIGINT) AS sum_elev,
+       CAST(MAX(e) AS BIGINT) AS max_elev,
+       CAST(MIN(e) AS BIGINT) AS min_elev
+FROM grid GROUP BY 1, 2
+"""
+
+QUERIES["dem_dted_tile_stats"] = q_dem_dted_tile_stats
+ORACLES["dem_dted_tile_stats"] = ORACLE_DEM_DTED_TILE_STATS

@@ -18,8 +18,24 @@ format (the `import_gridascii` path) natively:
 from the SOUTH-WEST corner — the same layout as the engine's tiles table
 (MultiGrids.Elevs semantics, share_linux.h:332-345).
 
-DTED and GeoTIFF need binary/codec plumbing not present in this container;
-their import would slot in as additional parse kernels behind the same
+``read_dted`` implements the DTED cell format natively (MIL-PRF-89020B is a
+public spec; reference importer dted_import.c — UHL struct :37-56, origin /
+spacing conversion :218-221, per-longitude-line record loop :776-806):
+
+* UHL (80 bytes, ASCII): origin in DDDMMSSH, spacing in tenths of
+  arc-seconds, line/point counts; DSI 648 bytes and ACC 2700 bytes skipped
+  after their sentinels are validated.
+* one data record per LONGITUDE line: 8-byte header (0xAA sentinel +
+  3-byte block count + lon/lat counts) + big-endian int16 posts running
+  SOUTH -> NORTH + 4-byte checksum (arithmetic byte sum, verified).
+* signed-magnitude negatives (0x8000 bit) are decoded per the spec; GAIT
+  reads raw two's-complement int16 (dted_import.c:776-793), identical for
+  the non-negative posts real terrain uses.
+* output is transposed to the engine's SW-row-major ``elevs`` layout, the
+  same tiles-row shape as Grid-ASCII.
+
+GeoTIFF needs codec plumbing (GDAL in import_geotiff.cpp:29) not present in
+this container; it would slot in as one more parse kernel behind the same
 (binaryFile -> tiles row) shape.
 """
 
@@ -103,6 +119,151 @@ GRIDASCII_SCHEMA = (
     "source string, ncols int, nrows int, x0 double, y0 double,"
     " cellsize double, nodata double, elevs array<double>"
 )
+
+
+# --- DTED (MIL-PRF-89020B; reference importer dted_import.c) -------------------
+
+_DTED_UHL_LEN = 80
+_DTED_DSI_LEN = 648
+_DTED_ACC_LEN = 2700
+
+
+def _dms_field(deg: int, minutes: int, sec: int, hem: str, deg_width: int) -> bytes:
+    return f"{deg:0{deg_width}d}{minutes:02d}{sec:02d}{hem}".encode("ascii")
+
+
+def write_dted(
+    path: str,
+    elevs_sw_rowmajor: np.ndarray,  # (nlat, nlon) int posts, row 0 = SOUTH
+    lon_deg: int,
+    lat_deg: int,
+    lon_hem: str = "E",
+    lat_hem: str = "N",
+    spacing_dsec: int = 300,  # tenths of arc-seconds (300 = DTED level 1)
+) -> None:
+    """Write a spec-shaped DTED cell (UHL+DSI+ACC + checksummed records)."""
+    nlat, nlon = elevs_sw_rowmajor.shape
+    uhl = (
+        b"UHL1"
+        + _dms_field(lon_deg, 0, 0, lon_hem, 3)
+        + _dms_field(lat_deg, 0, 0, lat_hem, 3)
+        + f"{spacing_dsec:04d}".encode()
+        + f"{spacing_dsec:04d}".encode()
+        + b"0010"      # absolute vertical accuracy
+        + b"U  "       # security classification
+        + b" " * 12    # unique reference
+        + f"{nlon:04d}".encode()
+        + f"{nlat:04d}".encode()
+        + b"0"         # multiple accuracy
+        + b" " * 24
+    )
+    assert len(uhl) == _DTED_UHL_LEN
+    dsi = b"DSI" + b"U" + b" " * (_DTED_DSI_LEN - 4)
+    acc = b"ACC" + b"0010" * 4 + b" " * (_DTED_ACC_LEN - 3 - 16)
+    out = bytearray(uhl + dsi + acc)
+    col_major = elevs_sw_rowmajor.T  # (nlon, nlat): one record per lon line
+    for c in range(nlon):
+        vals = col_major[c].astype(np.int64)
+        mags = np.where(vals < 0, (-vals) | 0x8000, vals).astype(">u2")
+        rec = bytearray(
+            b"\xaa"
+            + int(c).to_bytes(3, "big")
+            + int(c).to_bytes(2, "big")
+            + (0).to_bytes(2, "big")
+            + mags.tobytes()
+        )
+        checksum = sum(rec) & 0xFFFFFFFF
+        rec += checksum.to_bytes(4, "big")
+        out += rec
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def parse_dted_bytes(data: bytes, source: str) -> pd.DataFrame:
+    """One DTED cell -> one tiles row (source, ncols, nrows, x0, y0,
+    xspace_dsec, yspace_dsec, elevs) with elevs row-major from the SW corner
+    (ncols = lon posts, nrows = lat posts).
+
+    Origin conversion mirrors dted_import.c:218-230 (deg + min/60 + sec/3600,
+    hemisphere sign); spacing is kept in exact integer tenths of arc-seconds
+    (the UHL's own unit) so downstream facts stay integer.
+    """
+    if len(data) < _DTED_UHL_LEN or data[:4] != b"UHL1":
+        raise ValueError(f"{source}: not a DTED cell (missing UHL1)")
+    uhl = data[:_DTED_UHL_LEN]
+
+    def _ascii_int(b: bytes) -> int:
+        return int(b.decode("ascii"))
+
+    xdeg, xmin, xsec = _ascii_int(uhl[4:7]), _ascii_int(uhl[7:9]), _ascii_int(uhl[9:11])
+    xhem = chr(uhl[11])
+    ydeg, ymin, ysec = _ascii_int(uhl[12:15]), _ascii_int(uhl[15:17]), _ascii_int(uhl[17:19])
+    yhem = chr(uhl[19])
+    xspace_dsec = _ascii_int(uhl[20:24])
+    yspace_dsec = _ascii_int(uhl[24:28])
+    nlon = _ascii_int(uhl[47:51])
+    nlat = _ascii_int(uhl[51:55])
+    x0 = float(xdeg) + float(xmin) / 60.0 + float(xsec) / 3600.0
+    y0 = float(ydeg) + float(ymin) / 60.0 + float(ysec) / 3600.0
+    if xhem == "W":
+        x0 = x0 * -1.0
+    if yhem == "S":
+        y0 = y0 * -1.0
+
+    off = _DTED_UHL_LEN
+    if data[off : off + 3] != b"DSI":
+        raise ValueError(f"{source}: missing DSI record")
+    off += _DTED_DSI_LEN
+    if data[off : off + 3] != b"ACC":
+        raise ValueError(f"{source}: missing ACC record")
+    off += _DTED_ACC_LEN
+
+    rec_len = 8 + 2 * nlat + 4
+    grid = np.empty((nlon, nlat), dtype=np.int64)
+    for c in range(nlon):
+        rec = data[off : off + rec_len]
+        if len(rec) < rec_len or rec[0] != 0xAA:
+            raise ValueError(f"{source}: bad data record sentinel at line {c}")
+        expect = int.from_bytes(rec[-4:], "big")
+        got = sum(rec[:-4]) & 0xFFFFFFFF
+        if got != expect:
+            raise ValueError(f"{source}: checksum mismatch at line {c}")
+        raw = np.frombuffer(rec, dtype=">u2", count=nlat, offset=8).astype(np.int64)
+        grid[c] = np.where(raw & 0x8000, -(raw & 0x7FFF), raw)
+        off += rec_len
+
+    elevs_sw = grid.T  # (nlat rows from south, nlon cols from west)
+    return pd.DataFrame(
+        [
+            (
+                source, nlon, nlat, x0, y0, xspace_dsec, yspace_dsec,
+                elevs_sw.reshape(-1).tolist(),
+            )
+        ],
+        columns=[
+            "source", "ncols", "nrows", "x0", "y0",
+            "xspace_dsec", "yspace_dsec", "elevs",
+        ],
+    )
+
+
+DTED_SCHEMA = (
+    "source string, ncols int, nrows int, x0 double, y0 double,"
+    " xspace_dsec int, yspace_dsec int, elevs array<bigint>"
+)
+
+
+def read_dted(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed DTED scan: binaryFile source + parse kernel, one task per
+    cell file (a DTED cell is bounded: <= 3601x3601 posts)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield parse_dted_bytes(bytes(row["content"]), row["path"])
+
+    return files.select("path", "content").mapInPandas(run, schema=DTED_SCHEMA)
 
 
 def read_gridascii(spark: SparkSession, path_glob: str) -> DataFrame:

@@ -100,3 +100,42 @@ def test_gridascii_rejects_truncated(spark):
     bad = b"ncols 3\nnrows 2\nxllcorner 0.0\nyllcorner 0.0\ncellsize 1.0\n1 2 3\n"
     with _pytest.raises(ValueError, match="expected 6 posts"):
         parse_gridascii_bytes(bad, "t")
+
+
+def test_dted_roundtrip_negatives_and_hemispheres():
+    import numpy as np
+
+    from geospatial_analysis_integrity_tool_spark.sources.dem import (
+        parse_dted_bytes,
+        write_dted,
+    )
+    import io, os, tempfile
+
+    d = tempfile.mkdtemp(prefix="gait_dted_")
+    grid = np.array([[-500, 0, 1], [2, 3, 32000]], dtype=np.int64)  # row 0 = S
+    p = os.path.join(d, "c.dt1")
+    write_dted(p, grid, lon_deg=7, lat_deg=2, lon_hem="W", lat_hem="S")
+    row = parse_dted_bytes(open(p, "rb").read(), "c").iloc[0]
+    assert (row.ncols, row.nrows) == (3, 2)
+    assert (row.x0, row.y0) == (-7.0, -2.0)  # hemisphere sign, dted_import.c:224-230
+    assert row.xspace_dsec == 300
+    assert list(row.elevs) == [-500, 0, 1, 2, 3, 32000]
+
+
+def test_dted_rejects_corrupt_checksum():
+    import numpy as np
+    import pytest as _pytest
+
+    from geospatial_analysis_integrity_tool_spark.sources.dem import (
+        parse_dted_bytes,
+        write_dted,
+    )
+    import os, tempfile
+
+    d = tempfile.mkdtemp(prefix="gait_dted_")
+    p = os.path.join(d, "c.dt1")
+    write_dted(p, np.zeros((2, 2), dtype=np.int64), lon_deg=10, lat_deg=40)
+    data = bytearray(open(p, "rb").read())
+    data[-10] ^= 0x01  # flip one elevation byte; checksum no longer matches
+    with _pytest.raises(ValueError, match="checksum"):
+        parse_dted_bytes(bytes(data), "c")
