@@ -54,33 +54,20 @@ def line_adjacency(nodes: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(
-    lines: DataFrame,
-    id_col: str = "line_id",
+def min_label_components(
+    ids: DataFrame,
+    edges: DataFrame,
     max_iter: int = 48,
 ) -> DataFrame:
-    """(line_id, component_id) with component_id = min line id in component.
-
-    Min-label propagation **with pointer doubling**: each round takes the min
-    over (a) neighbors' labels and (b) the label of the current label
-    (label chasing).  Doubling halves the remaining label distance every
-    round, so convergence is O(log diameter) — a continental road network
-    with diameter in the thousands finishes in ~12 rounds, where plain
-    one-hop propagation (the previous implementation) needed thousands.
-
-    Each round materializes via ``localCheckpoint`` (truncates lineage — the
-    plan would otherwise grow superlinearly) and the convergence test is one
-    cheap ``isEmpty``-style action on the changed set.  If ``max_iter``
-    rounds do not converge the function RAISES instead of silently returning
-    partial labels (the default 48 covers diameter ~2^48).
-
-    Reference: InitializeBucketsOfTransNets / PropagateTransitiveCounters,
-    moregeomchecks.c:2749-2854.
-    """
-    nodes = endpoint_nodes(lines, id_col)
-    edges = line_adjacency(nodes).localCheckpoint(eager=False)
+    """Generic connected components: ``ids`` has one column ``id``; ``edges``
+    has (a, b) both directions.  Returns (id, component_id) with
+    component_id = min id in the component.  Same pointer-doubling
+    min-label loop as :func:`connected_components` (which now delegates
+    here) — reused by the raster wavefront checks (grid 4-neighbor
+    components, moregeomchecks.c:7150 AltRep wavefront)."""
+    edges = edges.localCheckpoint(eager=False)
     labels = (
-        lines.select(F.col(id_col).alias("line_id"))
+        ids.select(F.col("id").alias("line_id"))
         .withColumn("label", F.col("line_id"))
         .localCheckpoint(eager=False)
     )
@@ -91,7 +78,6 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("a", "line_id")
         )
-        # pointer doubling: the label of my current label
         chased = (
             labels.select(F.col("line_id"), F.col("label").alias("_l"))
             .join(
@@ -124,10 +110,44 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            return labels.withColumnRenamed("label", "component_id")
+            return labels.select(
+                F.col("line_id").alias("id"),
+                F.col("label").alias("component_id"),
+            )
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
+        f"min_label_components did not converge in {max_iter} rounds "
         "(graph diameter > 2^max_iter?) — refusing to return partial labels"
+    )
+
+
+def connected_components(
+    lines: DataFrame,
+    id_col: str = "line_id",
+    max_iter: int = 48,
+) -> DataFrame:
+    """(line_id, component_id) with component_id = min line id in component.
+
+    Min-label propagation **with pointer doubling**: each round takes the min
+    over (a) neighbors' labels and (b) the label of the current label
+    (label chasing).  Doubling halves the remaining label distance every
+    round, so convergence is O(log diameter) — a continental road network
+    with diameter in the thousands finishes in ~12 rounds, where plain
+    one-hop propagation (the previous implementation) needed thousands.
+
+    Each round materializes via ``localCheckpoint`` (truncates lineage — the
+    plan would otherwise grow superlinearly) and the convergence test is one
+    cheap ``isEmpty``-style action on the changed set.  If ``max_iter``
+    rounds do not converge the function RAISES instead of silently returning
+    partial labels (the default 48 covers diameter ~2^48).
+
+    Reference: InitializeBucketsOfTransNets / PropagateTransitiveCounters,
+    moregeomchecks.c:2749-2854.
+    """
+    nodes = endpoint_nodes(lines, id_col)
+    edges = line_adjacency(nodes)
+    ids = lines.select(F.col(id_col).alias("id"))
+    return min_label_components(ids, edges, max_iter).select(
+        F.col("id").alias("line_id"), "component_id"
     )
 
 

@@ -27,6 +27,7 @@ def all_queries():
         overlay,
         overshootq,
         raster2,
+        rasterhydro,
         rastermask,
         relational,
         scalarq,
@@ -52,6 +53,7 @@ def all_queries():
         vgeomq,
         raster2,
         rastermask,
+        rasterhydro,
         demchecks2,
         coverage2,
         checks2,
