@@ -13,6 +13,7 @@ def all_queries():
         checks3,
         conditionspipe,
         coverage2,
+        coverageq,
         demchecks2,
         edgematchq,
         embeddings,
@@ -56,6 +57,7 @@ def all_queries():
         rasterhydro,
         demchecks2,
         coverage2,
+        coverageq,
         checks2,
         checks3,
         edgematchq,

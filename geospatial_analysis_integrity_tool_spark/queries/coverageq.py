@@ -1,0 +1,478 @@
+"""Coverage-family checks (SURVEY.md §2.3 coverage row; round-2 "missing #3").
+
+Reference: GAIT's coverage block (geomchecks.c:37886-39154 — edge matching
+MatchAreaEdge :38163, coverage drivers around :37932-39154; check comments
+errors.c:11329-11381):
+
+* PNOCOVERLE 141 — point feature not covered by a linear END node within
+  tolerance (errors.c:11329);
+* LENOCOVERL 144 — line end node not within tolerance of ANOTHER line
+  (errors.c:11380);
+* NOLCOVLE   149 — same, but coverage may come from the line itself on a
+  NON-ADJACENT segment (errors.c:11381);
+* LNOCOVERLA 134 — line not covered by another line or an areal edge
+  (errors.c:11340);
+* LSPANFAIL  140 — line does not span between areal edges: an end node has
+  no areal edge within tolerance (errors.c:11341);
+* LNOCOV2A   154 — line covered, but by edges of fewer than TWO distinct
+  area features (errors.c:11342);
+* COINCIDEFAIL 152 — a feature segment fails to coincide with two other
+  features (errors.c:11346; segment matching AddEdgeSegment
+  geomchecks.c:37932).
+
+Spark-first shape: every check is an ANTI-join (or a count-below-threshold)
+over the same k-ring / bbox-cell candidate machinery the proximity family
+uses — candidates are generated cell-local, the exact point-to-segment meter
+distance (shared SQL text, poly-cos frame) refines them, and "not covered"
+is a left-anti join against the covered set, so the full cross product never
+materializes in either engine.  COINCIDEFAIL matches exact canonical
+quantized segment keys (integer micro-degrees) — a pure hash groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geodesy import sql_dist_m, sql_point_seg_dist_m
+from ..operators.proximity import point_to_segment_proximity
+from ..sources.synthetic import GEO_VIEWS, oracle_cte, register_geo_views
+from .vgeomq import _EDGES_CTE, _area_edges
+
+PCOVER_TOL_M = 60.0     # PNOCOVERLE: end node must sit within 60 m
+LCOVER_TOL_M = 150.0    # LENOCOVERL / NOLCOVLE / LNOCOVERLA
+SPAN_TOL_M = 150.0      # LSPANFAIL / LNOCOV2A
+LNOCOVERLA_TOL_M = 25.0 # LNOCOVERLA: tighter, so the fixture has a real mix
+_PRE = 0.003            # oracle bbox prefilter half-width (deg) >= tol
+
+
+# --- geo_pnocoverle (PNOCOVERLE 141) -------------------------------------------
+
+
+def q_pnocoverle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point features (geo_sites) with NO line end node within tolerance."""
+    register_geo_views(spark, sf_dir)
+    sites = spark.table("geo_sites").select("site_id", "lon", "lat")
+    lines = spark.table("geo_lines")
+    ends = lines.selectExpr("x1 AS ex", "y1 AS ey").unionByName(
+        lines.selectExpr("x3 AS ex", "y3 AS ey")
+    )
+    from ..operators.proximity import _with_cell, _with_kring_cells
+
+    cell = 0.002  # >= 60 m in degrees at |lat| <= 66
+    s = _with_cell(sites, "lon", "lat", cell)
+    e = _with_kring_cells(ends, "ex", "ey", cell)
+    covered = (
+        s.join(e, "cell")
+        .filter(
+            F.expr(f"{sql_dist_m('lon', 'lat', 'ex', 'ey')} < {PCOVER_TOL_M}")
+        )
+        .select("site_id")
+        .distinct()
+    )
+    return sites.join(covered, "site_id", "left_anti").select(
+        "site_id", "lon", "lat"
+    )
+
+
+ORACLE_PNOCOVERLE = f"""
+{oracle_cte('geo_sites', 'geo_lines')},
+ends AS (
+  SELECT x1 AS ex, y1 AS ey FROM geo_lines
+  UNION ALL
+  SELECT x3, y3 FROM geo_lines
+),
+covered AS (
+  SELECT DISTINCT s.site_id
+  FROM geo_sites s JOIN ends e
+    ON e.ex BETWEEN s.lon - {_PRE} AND s.lon + {_PRE}
+   AND e.ey BETWEEN s.lat - {_PRE} AND s.lat + {_PRE}
+  WHERE {sql_dist_m('s.lon', 's.lat', 'e.ex', 'e.ey')} < {PCOVER_TOL_M}
+)
+SELECT site_id, lon, lat FROM geo_sites
+WHERE site_id NOT IN (SELECT site_id FROM covered)
+"""
+
+
+# --- shared: geo_lines end nodes and segments ----------------------------------
+
+
+def _line_ends(lines: DataFrame) -> DataFrame:
+    """(pid = line_id*2 + end_which, line_id, end_which, px, py)."""
+    e0 = lines.selectExpr(
+        "line_id * 2 AS pid", "line_id", "0 AS end_which",
+        "x1 AS px", "y1 AS py",
+    )
+    e1 = lines.selectExpr(
+        "line_id * 2 + 1 AS pid", "line_id", "1 AS end_which",
+        "x3 AS px", "y3 AS py",
+    )
+    return e0.unionByName(e1)
+
+
+def _line_segs(lines: DataFrame) -> DataFrame:
+    """(line_id, seg_which 1|2, ax, ay, bx, by)."""
+    s1 = lines.selectExpr(
+        "line_id", "1 AS seg_which",
+        "x1 AS ax", "y1 AS ay", "x2 AS bx", "y2 AS by",
+    )
+    s2 = lines.selectExpr(
+        "line_id", "2 AS seg_which",
+        "x2 AS ax", "y2 AS ay", "x3 AS bx", "y3 AS by",
+    )
+    return s1.unionByName(s2)
+
+
+_ORACLE_ENDS = """
+ends AS (
+  SELECT line_id * 2 AS pid, line_id, 0 AS end_which, x1 AS px, y1 AS py
+  FROM geo_lines
+  UNION ALL
+  SELECT line_id * 2 + 1, line_id, 1, x3, y3 FROM geo_lines
+),
+segs AS (
+  SELECT line_id, 1 AS seg_which, x1 AS ax, y1 AS ay, x2 AS bx, y2 AS by
+  FROM geo_lines
+  UNION ALL
+  SELECT line_id, 2, x2, y2, x3, y3 FROM geo_lines
+)
+"""
+
+_PSD = sql_point_seg_dist_m("e.px", "e.py", "s.ax", "s.ay", "s.bx", "s.by")
+
+_ORACLE_SEG_CAND = f"""
+  FROM ends e JOIN segs s
+    ON e.px BETWEEN LEAST(s.ax, s.bx) - {_PRE} AND GREATEST(s.ax, s.bx) + {_PRE}
+   AND e.py BETWEEN LEAST(s.ay, s.by) - {_PRE} AND GREATEST(s.ay, s.by) + {_PRE}
+"""
+
+
+# --- geo_lenocoverl (LENOCOVERL 144) -------------------------------------------
+
+
+def q_lenocoverl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line end nodes with no OTHER line segment within tolerance."""
+    register_geo_views(spark, sf_dir)
+    lines = spark.table("geo_lines")
+    ends = _line_ends(lines)
+    segs = _line_segs(lines).selectExpr(
+        "line_id AS tgt_id", "ax", "ay", "bx", "by"
+    )
+    near = point_to_segment_proximity(
+        ends.selectExpr("pid AS src_id", "px", "py"),
+        segs,
+        tol_m=LCOVER_TOL_M,
+        open_interval=False,
+    )
+    covered = (
+        near.filter(F.expr("src_id DIV 2 <> tgt_id"))
+        .select(F.col("src_id").alias("pid"))
+        .distinct()
+    )
+    return (
+        ends.join(covered, "pid", "left_anti")
+        .selectExpr("line_id", "CAST(end_which AS INT) AS end_which")
+    )
+
+
+ORACLE_LENOCOVERL = f"""
+{oracle_cte('geo_lines')},
+{_ORACLE_ENDS.strip()},
+covered AS (
+  SELECT DISTINCT e.pid
+  {_ORACLE_SEG_CAND.strip()}
+   AND e.line_id <> s.line_id
+  WHERE {_PSD} < {LCOVER_TOL_M}
+)
+SELECT line_id, CAST(end_which AS INT) AS end_which FROM ends
+WHERE pid NOT IN (SELECT pid FROM covered)
+"""
+
+
+# --- geo_nolcovle (NOLCOVLE 149) -----------------------------------------------
+
+
+def q_nolcovle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like LENOCOVERL, but the line may cover its own end with a
+    NON-ADJACENT segment (end 0's adjacent segment is 1; end 1's is 2)."""
+    register_geo_views(spark, sf_dir)
+    lines = spark.table("geo_lines")
+    ends = _line_ends(lines)
+    segs = _line_segs(lines).selectExpr(
+        "line_id * 10 + seg_which AS tgt_id", "ax", "ay", "bx", "by"
+    )
+    near = point_to_segment_proximity(
+        ends.selectExpr("pid AS src_id", "px", "py"),
+        segs,
+        tol_m=LCOVER_TOL_M,
+        open_interval=False,
+    )
+    # adjacency exclusion: end 0 <-> seg 1, end 1 <-> seg 2 of the same line
+    covered = (
+        near.filter(
+            F.expr(
+                "NOT (src_id DIV 2 = tgt_id DIV 10"
+                " AND tgt_id % 10 = src_id % 2 + 1)"
+            )
+        )
+        .select(F.col("src_id").alias("pid"))
+        .distinct()
+    )
+    return (
+        ends.join(covered, "pid", "left_anti")
+        .selectExpr("line_id", "CAST(end_which AS INT) AS end_which")
+    )
+
+
+ORACLE_NOLCOVLE = f"""
+{oracle_cte('geo_lines')},
+{_ORACLE_ENDS.strip()},
+covered AS (
+  SELECT DISTINCT e.pid
+  {_ORACLE_SEG_CAND.strip()}
+   AND NOT (e.line_id = s.line_id AND s.seg_which = e.end_which + 1)
+  WHERE {_PSD} < {LCOVER_TOL_M}
+)
+SELECT line_id, CAST(end_which AS INT) AS end_which FROM ends
+WHERE pid NOT IN (SELECT pid FROM covered)
+"""
+
+
+# --- geo_lnocoverla (LNOCOVERLA 134) -------------------------------------------
+
+
+def q_lnocoverla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line (probed at its first-segment midpoint) covered by neither another
+    line's segment nor an areal ring edge."""
+    register_geo_views(spark, sf_dir)
+    lines = spark.table("geo_lines")
+    probes = lines.selectExpr(
+        "line_id AS src_id",
+        "(x1 + x2) * 0.5 AS px",
+        "(y1 + y2) * 0.5 AS py",
+    )
+    lsegs = _line_segs(lines).selectExpr(
+        "line_id AS tgt_id", "ax", "ay", "bx", "by"
+    )
+    aedges = _area_edges(spark).selectExpr(
+        "-1 - area_id AS tgt_id",  # disjoint id space from line ids
+        "ex1 AS ax", "ey1 AS ay", "ex2 AS bx", "ey2 AS by",
+    )
+    near = point_to_segment_proximity(
+        probes, lsegs.unionByName(aedges), tol_m=LNOCOVERLA_TOL_M,
+        open_interval=False,
+    )
+    covered = (
+        near.filter(F.expr("tgt_id < 0 OR tgt_id <> src_id"))
+        .select(F.col("src_id").alias("line_id"))
+        .distinct()
+    )
+    return lines.select("line_id").join(covered, "line_id", "left_anti")
+
+
+ORACLE_LNOCOVERLA = f"""
+{oracle_cte('geo_lines', 'geo_vareas')},
+{_EDGES_CTE.strip()},
+probes AS (
+  SELECT line_id, (x1 + x2) * 0.5 AS px, (y1 + y2) * 0.5 AS py FROM geo_lines
+),
+lsegs AS (
+  SELECT line_id AS tgt, x1 AS ax, y1 AS ay, x2 AS bx, y2 AS by FROM geo_lines
+  UNION ALL
+  SELECT line_id, x2, y2, x3, y3 FROM geo_lines
+  UNION ALL
+  SELECT -1 - area_id, ex1, ey1, ex2, ey2 FROM edges
+),
+covered AS (
+  SELECT DISTINCT e.line_id
+  FROM probes e JOIN lsegs s
+    ON e.px BETWEEN LEAST(s.ax, s.bx) - {_PRE} AND GREATEST(s.ax, s.bx) + {_PRE}
+   AND e.py BETWEEN LEAST(s.ay, s.by) - {_PRE} AND GREATEST(s.ay, s.by) + {_PRE}
+   AND (s.tgt < 0 OR s.tgt <> e.line_id)
+  WHERE {_PSD} < {LNOCOVERLA_TOL_M}
+)
+SELECT line_id FROM geo_lines
+WHERE line_id NOT IN (SELECT line_id FROM covered)
+"""
+
+
+# --- geo_lspanfail (LSPANFAIL 140) / geo_lnocov2a (LNOCOV2A 154) ----------------
+
+
+def _end_area_cover(spark: SparkSession) -> DataFrame:
+    """(pid, line_id, end_which, area_id) end-node-to-areal-edge coverage."""
+    lines = spark.table("geo_lines")
+    ends = _line_ends(lines)
+    aedges = _area_edges(spark).selectExpr(
+        "area_id AS tgt_id", "ex1 AS ax", "ey1 AS ay", "ex2 AS bx", "ey2 AS by"
+    )
+    near = point_to_segment_proximity(
+        ends.selectExpr("pid AS src_id", "px", "py"),
+        aedges,
+        tol_m=SPAN_TOL_M,
+        open_interval=False,
+    )
+    return near.selectExpr(
+        "src_id AS pid", "src_id DIV 2 AS line_id",
+        "CAST(src_id % 2 AS INT) AS end_which", "tgt_id AS area_id",
+    )
+
+
+_ORACLE_END_AREA = f"""
+cover AS (
+  SELECT DISTINCT e.pid, e.line_id, e.end_which, s.area_id
+  FROM ends e JOIN edges s
+    ON e.px BETWEEN LEAST(s.ex1, s.ex2) - {_PRE} AND GREATEST(s.ex1, s.ex2) + {_PRE}
+   AND e.py BETWEEN LEAST(s.ey1, s.ey2) - {_PRE} AND GREATEST(s.ey1, s.ey2) + {_PRE}
+  WHERE {sql_point_seg_dist_m('e.px', 'e.py', 's.ex1', 's.ey1', 's.ex2', 's.ey2')}
+        < {SPAN_TOL_M}
+)
+"""
+
+
+def q_lspanfail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines that do NOT span between areal edges: at least one end node has
+    no areal ring edge within tolerance.  Reports ends covered (0..1)."""
+    register_geo_views(spark, sf_dir)
+    lines = spark.table("geo_lines")
+    cov = _end_area_cover(spark).select("line_id", "end_which").distinct()
+    per_line = cov.groupBy("line_id").agg(
+        F.count("*").alias("n_ends_covered")
+    )
+    return (
+        lines.select("line_id")
+        .join(per_line, "line_id", "left")
+        .withColumn(
+            "n_ends_covered",
+            F.coalesce(F.col("n_ends_covered"), F.lit(0)).cast("bigint"),
+        )
+        .filter(F.col("n_ends_covered") < 2)
+    )
+
+
+ORACLE_LSPANFAIL = f"""
+{oracle_cte('geo_lines', 'geo_vareas')},
+{_EDGES_CTE.strip()},
+{_ORACLE_ENDS.strip()},
+{_ORACLE_END_AREA.strip()},
+per_line AS (
+  SELECT line_id, COUNT(DISTINCT end_which) AS n_ends_covered FROM cover GROUP BY 1
+)
+SELECT g.line_id,
+       CAST(COALESCE(p.n_ends_covered, 0) AS BIGINT) AS n_ends_covered
+FROM geo_lines g LEFT JOIN per_line p ON p.line_id = g.line_id
+WHERE COALESCE(p.n_ends_covered, 0) < 2
+"""
+
+
+def q_lnocov2a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines that span (both ends covered by areal edges) but whose covering
+    edges belong to fewer than TWO distinct area features."""
+    register_geo_views(spark, sf_dir)
+    cov = _end_area_cover(spark)
+    per_line = cov.groupBy("line_id").agg(
+        F.countDistinct("end_which").alias("_ne"),
+        F.countDistinct("area_id").alias("n_areas"),
+    )
+    return (
+        per_line.filter((F.col("_ne") == 2) & (F.col("n_areas") < 2))
+        .selectExpr("line_id", "CAST(n_areas AS BIGINT) AS n_areas")
+    )
+
+
+ORACLE_LNOCOV2A = f"""
+{oracle_cte('geo_lines', 'geo_vareas')},
+{_EDGES_CTE.strip()},
+{_ORACLE_ENDS.strip()},
+{_ORACLE_END_AREA.strip()},
+per_line AS (
+  SELECT line_id,
+         COUNT(DISTINCT end_which) AS ne,
+         COUNT(DISTINCT area_id) AS n_areas
+  FROM cover GROUP BY 1
+)
+SELECT line_id, CAST(n_areas AS BIGINT) AS n_areas
+FROM per_line WHERE ne = 2 AND n_areas < 2
+"""
+
+
+# --- geo_coincidefail (COINCIDEFAIL 152) ----------------------------------------
+#
+# Target features = the first copy of each geometry seed in geo_lines_dup
+# (line_id < 997); covering features = the second and third copies, with a
+# PLANTED gap (the second copy of every 13th seed is withheld).  A target
+# whose canonical quantized segment key coincides with fewer than 2 covering
+# features is the condition — exact integer key matching, the declarative
+# form of AddEdgeSegment/MatchAreaEdge's edge-list pairing.
+
+_DUPKEY = (
+    "concat(CAST(CAST(floor(x1 * 1000000.0) AS BIGINT) AS STRING), ':',"
+    " CAST(CAST(floor(y1 * 1000000.0) AS BIGINT) AS STRING), ':',"
+    " CAST(CAST(floor(x2 * 1000000.0) AS BIGINT) AS STRING), ':',"
+    " CAST(CAST(floor(y2 * 1000000.0) AS BIGINT) AS STRING))"
+)
+
+
+def q_coincidefail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geo_views(spark, sf_dir)
+    d = spark.table("geo_lines_dup")
+    targets = d.filter("line_id < 997").selectExpr(
+        "line_id", f"{_DUPKEY} AS k"
+    )
+    covers = d.filter(
+        F.expr(
+            "line_id >= 997 AND line_id < 2991"
+            " AND NOT (line_id < 1994 AND line_id % 997 % 13 = 0)"
+        )
+    ).selectExpr(f"{_DUPKEY} AS k", "line_id AS cover_id")
+    counts = (
+        targets.join(covers, "k", "left")
+        .groupBy("line_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cover_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_coincident")
+        )
+        .filter(F.col("n_coincident") < 2)
+        .selectExpr("line_id", "CAST(n_coincident AS BIGINT) AS n_coincident")
+    )
+    return counts
+
+
+ORACLE_COINCIDEFAIL = f"""
+WITH geo_lines_dup AS ({GEO_VIEWS['geo_lines_dup']}),
+targets AS (
+  SELECT line_id, {_DUPKEY} AS k FROM geo_lines_dup WHERE line_id < 997
+),
+covers AS (
+  SELECT {_DUPKEY} AS k, line_id AS cover_id FROM geo_lines_dup
+  WHERE line_id >= 997 AND line_id < 2991
+    AND NOT (line_id < 1994 AND line_id % 997 % 13 = 0)
+)
+SELECT t.line_id,
+       CAST(SUM(CASE WHEN c.cover_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_coincident
+FROM targets t LEFT JOIN covers c ON c.k = t.k
+GROUP BY 1 HAVING SUM(CASE WHEN c.cover_id IS NOT NULL THEN 1 ELSE 0 END) < 2
+"""
+
+
+QUERIES = {
+    "geo_pnocoverle": q_pnocoverle,
+    "geo_lenocoverl": q_lenocoverl,
+    "geo_nolcovle": q_nolcovle,
+    "geo_lnocoverla": q_lnocoverla,
+    "geo_lspanfail": q_lspanfail,
+    "geo_lnocov2a": q_lnocov2a,
+    "geo_coincidefail": q_coincidefail,
+}
+
+ORACLES = {
+    "geo_pnocoverle": ORACLE_PNOCOVERLE,
+    "geo_lenocoverl": ORACLE_LENOCOVERL,
+    "geo_nolcovle": ORACLE_NOLCOVLE,
+    "geo_lnocoverla": ORACLE_LNOCOVERLA,
+    "geo_lspanfail": ORACLE_LSPANFAIL,
+    "geo_lnocov2a": ORACLE_LNOCOV2A,
+    "geo_coincidefail": ORACLE_COINCIDEFAIL,
+}
