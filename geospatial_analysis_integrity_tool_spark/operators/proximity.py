@@ -197,14 +197,19 @@ def point_to_segment_proximity(
     pairs = pts_cells.join(segs_cells, "cell")
     d = F.expr(sql_point_seg_dist_m("_px", "_py", "_sax", "_say", "_sbx", "_sby"))
     lower = (d > F.lit(0.0)) if open_interval else (d >= F.lit(0.0))
+    # a (point, seg_id) pair can qualify through SEVERAL underlying rows —
+    # duplicate cells of the k-ring (same distance) or, when the caller maps
+    # several segments to one seg_id, different segments with DIFFERENT
+    # distances.  Aggregate the MIN so the reported distance is
+    # deterministic (dropDuplicates kept an arbitrary row).
     out = (
         pairs.withColumn("_d", d)
         .filter(lower & (F.col("_d") < F.lit(tol_m)))
-        .select(
-            F.col(point_id),
-            F.col(seg_id),
-            F.expr("CAST(floor(_d * 1000.0) AS BIGINT)").alias("dist_mm"),
+        .groupBy(point_id, seg_id)
+        .agg(
+            F.min(
+                F.expr("CAST(floor(_d * 1000.0) AS BIGINT)")
+            ).alias("dist_mm")
         )
-        .dropDuplicates([point_id, seg_id])
     )
     return out

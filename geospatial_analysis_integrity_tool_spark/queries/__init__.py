@@ -20,6 +20,7 @@ def all_queries():
         endptq,
         geometry,
         metadataq,
+        mgcpq,
         misc,
         morechecks,
         negationq,
@@ -35,8 +36,10 @@ def all_queries():
         sensq,
         shpq,
         specq,
+        streamq,
         textops,
         uomq,
+        variantq,
         vgeomq,
     )
 
@@ -62,13 +65,16 @@ def all_queries():
         checks3,
         edgematchq,
         endptq,
+        variantq,
         networksq,
         negationq,
         morechecks,
         metadataq,
+        mgcpq,
         misc,
         uomq,
         specq,
+        streamq,
         shpq,
         scalarq,
         sensq,

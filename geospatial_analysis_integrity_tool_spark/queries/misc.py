@@ -1,4 +1,4 @@
-"""Role gating (gated), SimHash dedup + multimodal features (rows-only)."""
+"""Role gating (gated), SimHash dedup (rows-only), multimodal header decode (gated)."""
 
 from __future__ import annotations
 
@@ -7,7 +7,11 @@ from pyspark.sql import functions as F
 
 from ..operators.checkspec import apply_roles
 from ..operators.simhash import simhash_near_dups
-from ..sources.multimodal import extract_media_features, synth_media
+from ..sources.multimodal import (
+    decode_media_headers,
+    extract_media_features,
+    synth_media,
+)
 from ..sources.synthetic import oracle_cte, register_geo_views, register_testdata_views
 
 # --- check_role_gating (CombinedCheckApplies TT.c:30625) ----------------------
@@ -75,8 +79,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(aug, hamming_max=6)
 
 
-# --- multimodal_features (rows-only; plumbing pytest-gated) -------------------
+# --- multimodal_features (GATED: structural header decode round trip) ----------
+#
+# The engine builds real PNG/JPEG/WAV container bytes (sources/multimodal),
+# ships them through the distributed Arrow-batched header parser, and emits
+# the decoded facts; the oracle re-derives the same facts CLOSED-FORM from
+# the id arithmetic — so a defect anywhere in the encode -> parse pipeline
+# (chunk offsets, endianness, segment walking, signed fields) fails the
+# hash.  Video payloads stay opaque (full pixel decode is the one stubbed
+# step; see sources/multimodal.decode_media).
+MM_N = 500
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(spark, MM_N).filter(F.col("kind") != "video")
+    return decode_media_headers(media)
+
+
+ORACLE_MULTIMODAL = f"""
+WITH ids AS (SELECT unnest(range(0, {MM_N})) AS i)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE WHEN i % 3 = 0 THEN (CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+            ELSE 'wav' END AS fmt,
+       CASE WHEN i % 3 = 0 THEN CAST(64 + (i * 7) % 512 AS INT) END AS width,
+       CASE WHEN i % 3 = 0 THEN CAST(64 + (i * 11) % 512 AS INT) END AS height,
+       CASE WHEN i % 3 = 1 THEN CAST(8000 + (i % 5) * 8000 AS INT) END AS sample_rate,
+       CASE WHEN i % 3 = 1 THEN CAST(100 + i % 50 AS INT) END AS n_frames
+FROM ids WHERE i % 3 <> 2
+"""
+
+
+# rows-only companion: pseudo-embedding feature extraction plumbing
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 2000 if "0.1" in sf_dir else 500
     return extract_media_features(synth_media(spark, n)).select(
         "media_id", "kind", "n_bytes", "thumb_w", "thumb_h"
@@ -87,6 +121,10 @@ QUERIES = {
     "check_role_gating": q_check_role_gating,
     "dedup_simhash": q_dedup_simhash,
     "multimodal_features": q_multimodal_features,
+    "multimodal_embed": q_multimodal_embed,
 }
 
-ORACLES = {"check_role_gating": ORACLE_ROLE_GATING}
+ORACLES = {
+    "check_role_gating": ORACLE_ROLE_GATING,
+    "multimodal_features": ORACLE_MULTIMODAL,
+}

@@ -79,3 +79,34 @@ def test_mark_ignored_replay(spark):
         for r in mark_ignored(new, prior, ["errtype", "instance", "sedrisid"]).collect()
     }
     assert out == {("SLIVER", "10"): 1, ("SLIVER", "11"): 0, ("KINK", "10"): 0}
+
+
+def test_media_header_parsers_roundtrip():
+    from geospatial_analysis_integrity_tool_spark.sources.multimodal import (
+        jpeg_bytes,
+        parse_media_header,
+        png_bytes,
+        wav_bytes,
+    )
+
+    assert parse_media_header(png_bytes(640, 480)) == ("png", 640, 480, None, None)
+    # the JPEG walker must skip APP0 and COM segments to reach SOF0
+    assert parse_media_header(jpeg_bytes(1920, 1080)) == (
+        "jpeg", 1920, 1080, None, None,
+    )
+    assert parse_media_header(wav_bytes(16000, 123)) == (
+        "wav", None, None, 16000, 123,
+    )
+    assert parse_media_header(b"\x00" * 32)[0] == "unknown"
+
+
+def test_media_decode_still_raises_for_full_decode(spark):
+    import pytest as _pytest
+
+    from geospatial_analysis_integrity_tool_spark.sources.multimodal import (
+        decode_media,
+        synth_media,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(synth_media(spark, 5), real=True)
