@@ -36,6 +36,7 @@ def all_queries():
         sensq,
         shpq,
         specq,
+        stragglerq,
         streamq,
         textops,
         uomq,
@@ -74,6 +75,7 @@ def all_queries():
         misc,
         uomq,
         specq,
+        stragglerq,
         streamq,
         shpq,
         scalarq,
