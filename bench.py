@@ -45,6 +45,16 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "embedding_near_dup",
+    # round-3 breadth additions
+    "dem_dted_tile_stats",
+    "raster_water_mmu",
+    "raster_flow_step",
+    "geo_clamp_sdc",
+    "geo_internalkink",
+    "geo_lenocoverl",
+    "attr_mgcp3_domains",
+    "multimodal_features",
+    "streaming_first_seen",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -448,3 +448,86 @@ FROM grid GROUP BY 1, 2
 
 QUERIES["dem_dted_tile_stats"] = q_dem_dted_tile_stats
 ORACLES["dem_dted_tile_stats"] = ORACLE_DEM_DTED_TILE_STATS
+
+
+# --- dem_geotiff_tile_stats: uncompressed GeoTIFF import round trip -------------
+#
+# Six single-band int16 GeoTIFFs (II byte order, multi-strip, ModelPixelScale
+# + ModelTiepoint georeferencing) written by sources/dem.write_geotiff, read
+# back through the DISTRIBUTED read_geotiff kernel (TIFF IFD walk + strip
+# assembly + north-south flip), and reduced to exact integer per-tile stats
+# against the closed-form oracle.  Reference imports GeoTIFF via GDAL
+# (import_geotiff.cpp:29); the uncompressed core needs no codec.
+
+GTIFF_POSTS = 40
+GTIFF_NX = 3
+GTIFF_NY = 2
+_GTIFF_ELEV = "((tx * 733 + ty * 577 + c * 7919 + r * 104729) % 3000) - 700"
+
+
+def write_geotiff_fixture(dirpath: str | None = None) -> str:
+    import os
+
+    import numpy as np
+
+    from ..sources.dem import write_geotiff
+    from ..sources.fixtures import fixture_dir
+
+    if dirpath is None:
+        dirpath = fixture_dir("gtiff_v1")
+    if os.path.exists(os.path.join(dirpath, "_done")):
+        return dirpath
+    os.makedirs(dirpath, exist_ok=True)
+    c = np.arange(GTIFF_POSTS, dtype=np.int64)[None, :]
+    r = np.arange(GTIFF_POSTS, dtype=np.int64)[:, None]   # row 0 = SOUTH
+    for tx in range(GTIFF_NX):
+        for ty in range(GTIFF_NY):
+            elevs = ((tx * 733 + ty * 577 + c * 7919 + r * 104729) % 3000) - 700
+            write_geotiff(
+                os.path.join(dirpath, f"cell_{tx}_{ty}.tif"),
+                elevs,
+                x0=20.0 + tx * 0.5,
+                y0=50.0 + ty * 0.5,
+                cellsize=0.0125,
+            )
+    open(os.path.join(dirpath, "_done"), "w").write("ok")
+    return dirpath
+
+
+def q_dem_geotiff_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.dem import read_geotiff
+
+    d = write_geotiff_fixture()
+    tiles = read_geotiff(spark, d + "/*.tif")
+    return tiles.selectExpr(
+        "CAST(round((x0 - 20.0) / 0.5) AS INT) AS tx",
+        "CAST(round((y0 - 50.0) / 0.5) AS INT) AS ty",
+        "CAST(ncols AS BIGINT) * CAST(nrows AS BIGINT) AS n_posts",
+        "CAST(aggregate(elevs, 0L, (acc, e) -> acc + CAST(e AS BIGINT)) AS BIGINT)"
+        " AS sum_elev",
+        "CAST(aggregate(elevs, CAST(-100000 AS BIGINT), (acc, e) ->"
+        " greatest(acc, CAST(e AS BIGINT))) AS BIGINT) AS max_elev",
+        "CAST(aggregate(elevs, CAST(100000 AS BIGINT), (acc, e) ->"
+        " least(acc, CAST(e AS BIGINT))) AS BIGINT) AS min_elev",
+    )
+
+
+ORACLE_DEM_GEOTIFF_TILE_STATS = f"""
+WITH grid AS (
+  SELECT t.tx, t.ty, c.c, r.r, {_GTIFF_ELEV} AS e
+  FROM (SELECT tx_i AS tx, ty_i AS ty
+        FROM (SELECT unnest(range(0, {GTIFF_NX})) AS tx_i),
+             (SELECT unnest(range(0, {GTIFF_NY})) AS ty_i)) t,
+       (SELECT unnest(range(0, {GTIFF_POSTS})) AS c) c,
+       (SELECT unnest(range(0, {GTIFF_POSTS})) AS r) r
+)
+SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       CAST(COUNT(*) AS BIGINT) AS n_posts,
+       CAST(SUM(e) AS BIGINT) AS sum_elev,
+       CAST(MAX(e) AS BIGINT) AS max_elev,
+       CAST(MIN(e) AS BIGINT) AS min_elev
+FROM grid GROUP BY 1, 2
+"""
+
+QUERIES["dem_geotiff_tile_stats"] = q_dem_geotiff_tile_stats
+ORACLES["dem_geotiff_tile_stats"] = ORACLE_DEM_GEOTIFF_TILE_STATS

@@ -34,13 +34,24 @@ spacing conversion :218-221, per-longitude-line record loop :776-806):
 * output is transposed to the engine's SW-row-major ``elevs`` layout, the
   same tiles-row shape as Grid-ASCII.
 
-GeoTIFF needs codec plumbing (GDAL in import_geotiff.cpp:29) not present in
-this container; it would slot in as one more parse kernel behind the same
-(binaryFile -> tiles row) shape.
+``read_geotiff`` covers the UNCOMPRESSED GeoTIFF core natively (the
+reference imports GeoTIFF through GDAL, import_geotiff.cpp:29; the TIFF 6.0
+container and the GeoTIFF georeferencing tags are public specs):
+
+* classic TIFF header (II little-endian or MM big-endian), IFD walk over
+  12-byte entries; baseline tags 256/257 (dims), 258 BitsPerSample=16,
+  259 Compression=1 (uncompressed only — compressed data needs codecs),
+  273/279 strip offsets/byte counts, 278 RowsPerStrip, 339 SampleFormat=2
+  (signed int16 posts);
+* GeoTIFF tags 33550 ModelPixelScale and 33922 ModelTiepoint give the
+  origin and post spacing;
+* strips concatenate to the raster top-down; output flips to the engine's
+  SW-row-major ``elevs`` layout.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -264,6 +275,184 @@ def read_dted(spark: SparkSession, path_glob: str) -> DataFrame:
                 yield parse_dted_bytes(bytes(row["content"]), row["path"])
 
     return files.select("path", "content").mapInPandas(run, schema=DTED_SCHEMA)
+
+
+# --- GeoTIFF (uncompressed core; TIFF 6.0 + GeoTIFF spec) ----------------------
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+
+
+def write_geotiff(
+    path: str,
+    elevs_sw_rowmajor: np.ndarray,  # (nrows, ncols) int16 posts, row 0 = SOUTH
+    x0: float,
+    y0: float,
+    cellsize: float,
+    rows_per_strip: int = 16,
+) -> None:
+    """Minimal uncompressed single-band int16 GeoTIFF (little-endian):
+    baseline dims/strip tags + ModelPixelScale + ModelTiepoint."""
+    nrows, ncols = elevs_sw_rowmajor.shape
+    grid_ns = elevs_sw_rowmajor[::-1].astype("<i2")  # TIFF row 0 = NORTH
+    strips = [
+        grid_ns[r : r + rows_per_strip].tobytes()
+        for r in range(0, nrows, rows_per_strip)
+    ]
+    n_strips = len(strips)
+
+    # layout: header(8) | IFD | tag overflow arrays | strip data
+    n_tags = 12
+    ifd_off = 8
+    ifd_size = 2 + n_tags * 12 + 4
+    aux_off = ifd_off + ifd_size
+    aux = bytearray()
+
+    def aux_put(data: bytes) -> int:
+        off = aux_off + len(aux)
+        aux.extend(data)
+        return off
+
+    strip_counts = [len(s) for s in strips]
+    # reserve aux for strip offset/count arrays (if >1 strip), pixel scale,
+    # tiepoint; strip data begins after aux
+    entries: list[tuple[int, int, int, int]] = []  # tag, type, count, value
+
+    def val_or_off(tag, typ, count, data: bytes, inline_val: int | None):
+        size = _TIFF_TYPE_SIZES[typ] * count
+        if size <= 4 and inline_val is not None:
+            entries.append((tag, typ, count, inline_val))
+        else:
+            entries.append((tag, typ, count, aux_put(data)))
+
+    entries.append((256, 4, 1, ncols))   # ImageWidth
+    entries.append((257, 4, 1, nrows))   # ImageLength
+    entries.append((258, 3, 1, 16))      # BitsPerSample
+    entries.append((259, 3, 1, 1))       # Compression = none
+    entries.append((262, 3, 1, 1))       # Photometric = BlackIsZero
+    # StripOffsets (patched after aux is final)
+    strip_off_entry_idx = len(entries)
+    if n_strips == 1:
+        entries.append((273, 4, 1, 0))
+    else:
+        entries.append((273, 4, n_strips, aux_put(b"\x00" * 4 * n_strips)))
+    entries.append((277, 3, 1, 1))       # SamplesPerPixel
+    entries.append((278, 4, 1, rows_per_strip))
+    if n_strips == 1:
+        entries.append((279, 4, 1, strip_counts[0]))
+    else:
+        entries.append(
+            (279, 4, n_strips, aux_put(struct.pack(f"<{n_strips}I", *strip_counts)))
+        )
+    entries.append((339, 3, 1, 2))       # SampleFormat = signed int
+    val_or_off(
+        33550, 12, 3, struct.pack("<3d", cellsize, cellsize, 0.0), None
+    )  # ModelPixelScale
+    # ModelTiepoint: raster (0,0) = NW corner = (x0, y0 + nrows*cellsize)
+    val_or_off(
+        33922, 12, 6,
+        struct.pack("<6d", 0.0, 0.0, 0.0, x0, y0 + nrows * cellsize, 0.0),
+        None,
+    )
+    assert len(entries) == n_tags
+
+    data_off = aux_off + len(aux)
+    offs = []
+    pos = data_off
+    for c in strip_counts:
+        offs.append(pos)
+        pos += c
+    if n_strips == 1:
+        entries[strip_off_entry_idx] = (273, 4, 1, offs[0])
+    else:
+        o = entries[strip_off_entry_idx][3] - aux_off
+        aux[o : o + 4 * n_strips] = struct.pack(f"<{n_strips}I", *offs)
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n_tags)
+    for tag, typ, count, val in sorted(entries):
+        out += struct.pack("<HHII", tag, typ, count, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += aux
+    for s in strips:
+        out += s
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def parse_geotiff_bytes(data: bytes, source: str) -> pd.DataFrame:
+    """One uncompressed int16 GeoTIFF -> one tiles row (source, ncols, nrows,
+    x0, y0, cellsize, nodata, elevs) with elevs SW-row-major (the Grid-ASCII
+    tiles shape).  Handles II and MM byte orders and multi-strip rasters;
+    raises on compressed data (codec territory)."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError(f"{source}: not a TIFF (bad byte-order mark)")
+    bo = "<" if data[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(bo + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError(f"{source}: not a classic TIFF (magic {magic})")
+    (n_tags,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, int, bytes]] = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(bo + "HHI", data[off : off + 8])
+        tags[tag] = (typ, count, off + 8, data[off + 8 : off + 12])
+
+    def read_values(tag: int) -> list:
+        typ, count, voff, raw = tags[tag]
+        size = _TIFF_TYPE_SIZES[typ] * count
+        if size <= 4:
+            buf = raw[:size]
+        else:
+            (ptr,) = struct.unpack(bo + "I", raw)
+            buf = data[ptr : ptr + size]
+        fmt = {3: "H", 4: "I", 12: "d"}[typ]
+        return list(struct.unpack(f"{bo}{count}{fmt}", buf))
+
+    ncols = int(read_values(256)[0])
+    nrows = int(read_values(257)[0])
+    if 259 in tags and int(read_values(259)[0]) != 1:
+        raise ValueError(
+            f"{source}: compressed TIFF (compression="
+            f"{int(read_values(259)[0])}) needs codec libraries"
+        )
+    strip_offs = [int(v) for v in read_values(273)]
+    strip_counts = [int(v) for v in read_values(279)]
+    raw = b"".join(
+        data[o : o + c] for o, c in zip(strip_offs, strip_counts)
+    )
+    grid_ns = np.frombuffer(raw, dtype=bo + "i2", count=ncols * nrows).reshape(
+        nrows, ncols
+    )
+    scale = read_values(33550)
+    tie = read_values(33922)
+    cellsize = float(scale[0])
+    x0 = float(tie[3])
+    y0 = float(tie[4]) - nrows * cellsize  # tiepoint is the NW corner
+    elevs_sw = grid_ns[::-1].astype(np.float64)
+    return pd.DataFrame(
+        [
+            (
+                source, ncols, nrows, x0, y0, cellsize, -9999.0,
+                elevs_sw.reshape(-1).tolist(),
+            )
+        ],
+        columns=[
+            "source", "ncols", "nrows", "x0", "y0", "cellsize", "nodata", "elevs",
+        ],
+    )
+
+
+def read_geotiff(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed uncompressed-GeoTIFF scan: binaryFile source + parse
+    kernel, one task per file — same tiles-row shape as Grid-ASCII."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield parse_geotiff_bytes(bytes(row["content"]), row["path"])
+
+    return files.select("path", "content").mapInPandas(run, schema=GRIDASCII_SCHEMA)
 
 
 def read_gridascii(spark: SparkSession, path_glob: str) -> DataFrame:

@@ -139,3 +139,32 @@ def test_dted_rejects_corrupt_checksum():
     data[-10] ^= 0x01  # flip one elevation byte; checksum no longer matches
     with _pytest.raises(ValueError, match="checksum"):
         parse_dted_bytes(bytes(data), "c")
+
+
+def test_geotiff_roundtrip_bigendian_rejects_compressed():
+    import numpy as np
+    import pytest as _pytest
+
+    from geospatial_analysis_integrity_tool_spark.sources.dem import (
+        parse_geotiff_bytes,
+        write_geotiff,
+    )
+    import os, struct, tempfile
+
+    d = tempfile.mkdtemp(prefix="gait_tif_")
+    grid = np.array([[-700, 0, 5], [100, 2299, -1]], dtype=np.int64)  # row 0 = S
+    p = os.path.join(d, "t.tif")
+    write_geotiff(p, grid, x0=20.0, y0=50.0, cellsize=0.0125, rows_per_strip=1)
+    row = parse_geotiff_bytes(open(p, "rb").read(), "t").iloc[0]
+    assert (row.ncols, row.nrows) == (3, 2)
+    assert (row.x0, row.y0, row.cellsize) == (20.0, 50.0, 0.0125)
+    assert list(row.elevs) == [-700.0, 0.0, 5.0, 100.0, 2299.0, -1.0]
+    # compression tag other than 1 must be refused, not mis-decoded
+    data = bytearray(open(p, "rb").read())
+    n_tags = struct.unpack("<H", data[8:10])[0]
+    for i in range(n_tags):
+        off = 10 + 12 * i
+        if struct.unpack("<H", data[off : off + 2])[0] == 259:
+            data[off + 8 : off + 12] = struct.pack("<I", 5)  # pretend LZW
+    with _pytest.raises(ValueError, match="compressed"):
+        parse_geotiff_bytes(bytes(data), "t")
