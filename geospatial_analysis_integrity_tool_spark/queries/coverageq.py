@@ -140,6 +140,44 @@ segs AS (
 
 _PSD = sql_point_seg_dist_m("e.px", "e.py", "s.ax", "s.ay", "s.bx", "s.by")
 
+
+#: DuckDB cell-join helpers: interval (IEJoin) candidates evaluate the meter
+#: distance on every x-overlapping pair (~5M at sf0.01); the cell equi-join
+#: below mirrors the engine's k-ring plan and cuts candidates ~70x.
+_CC = 0.01  # cell width (deg) >= every coverage tolerance in this module
+
+
+def _segc_sql(src: str, out: str, ax="ax", ay="ay", bx="bx", by="by") -> str:
+    return f"""
+{out}_pre AS (
+  SELECT *, LEAST({ax}, {bx}) AS _mnx, GREATEST({ax}, {bx}) AS _mxx,
+         LEAST({ay}, {by}) AS _mny, GREATEST({ay}, {by}) AS _mxy
+  FROM {src}
+),
+{out}_x AS (
+  SELECT *, unnest(generate_series(CAST(floor(_mnx / {_CC}) AS BIGINT),
+                                   CAST(floor(_mxx / {_CC}) AS BIGINT))) AS cellx
+  FROM {out}_pre
+),
+{out} AS MATERIALIZED (
+  SELECT *, unnest(generate_series(CAST(floor(_mny / {_CC}) AS BIGINT),
+                                   CAST(floor(_mxy / {_CC}) AS BIGINT))) AS celly
+  FROM {out}_x
+)
+"""
+
+
+def _pk_sql(src: str, out: str, px="px", py="py") -> str:
+    return f"""
+{out} AS MATERIALIZED (
+  SELECT p.*, CAST(floor(p.{px} / {_CC}) AS BIGINT) + d.dx AS cellx,
+         CAST(floor(p.{py} / {_CC}) AS BIGINT) + d.dy AS celly
+  FROM {src} p,
+       (SELECT dx.dx, dy.dy FROM (SELECT unnest([-1, 0, 1]) AS dx) dx,
+                                 (SELECT unnest([-1, 0, 1]) AS dy) dy) d
+)
+"""
+
 _ORACLE_SEG_CAND = f"""
   FROM ends e JOIN segs s
     ON e.px BETWEEN LEAST(s.ax, s.bx) - {_PRE} AND GREATEST(s.ax, s.bx) + {_PRE}
@@ -178,11 +216,12 @@ def q_lenocoverl(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LENOCOVERL = f"""
 {oracle_cte('geo_lines')},
 {_ORACLE_ENDS.strip()},
+{_segc_sql('segs', 'segc').strip()},
+{_pk_sql('ends', 'pk').strip()},
 covered AS (
   SELECT DISTINCT e.pid
-  {_ORACLE_SEG_CAND.strip()}
-   AND e.line_id <> s.line_id
-  WHERE {_PSD} < {LCOVER_TOL_M}
+  FROM pk e JOIN segc s ON s.cellx = e.cellx AND s.celly = e.celly
+  WHERE e.line_id <> s.line_id AND {_PSD} < {LCOVER_TOL_M}
 )
 SELECT line_id, CAST(end_which AS INT) AS end_which FROM ends
 WHERE pid NOT IN (SELECT pid FROM covered)
@@ -227,11 +266,13 @@ def q_nolcovle(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NOLCOVLE = f"""
 {oracle_cte('geo_lines')},
 {_ORACLE_ENDS.strip()},
+{_segc_sql('segs', 'segc').strip()},
+{_pk_sql('ends', 'pk').strip()},
 covered AS (
   SELECT DISTINCT e.pid
-  {_ORACLE_SEG_CAND.strip()}
-   AND NOT (e.line_id = s.line_id AND s.seg_which = e.end_which + 1)
-  WHERE {_PSD} < {LCOVER_TOL_M}
+  FROM pk e JOIN segc s ON s.cellx = e.cellx AND s.celly = e.celly
+  WHERE NOT (e.line_id = s.line_id AND s.seg_which = e.end_which + 1)
+    AND {_PSD} < {LCOVER_TOL_M}
 )
 SELECT line_id, CAST(end_which AS INT) AS end_which FROM ends
 WHERE pid NOT IN (SELECT pid FROM covered)
@@ -272,7 +313,7 @@ def q_lnocoverla(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LNOCOVERLA = f"""
 {oracle_cte('geo_lines', 'geo_vareas')},
-{_EDGES_CTE.strip()},
+{_EDGES_CTE.strip().replace('edges AS (', 'edges AS MATERIALIZED (')},
 probes AS (
   SELECT line_id, (x1 + x2) * 0.5 AS px, (y1 + y2) * 0.5 AS py FROM geo_lines
 ),
@@ -283,13 +324,12 @@ lsegs AS (
   UNION ALL
   SELECT -1 - area_id, ex1, ey1, ex2, ey2 FROM edges
 ),
+{_segc_sql('lsegs', 'lsegc').strip()},
+{_pk_sql('probes', 'ppk').strip()},
 covered AS (
   SELECT DISTINCT e.line_id
-  FROM probes e JOIN lsegs s
-    ON e.px BETWEEN LEAST(s.ax, s.bx) - {_PRE} AND GREATEST(s.ax, s.bx) + {_PRE}
-   AND e.py BETWEEN LEAST(s.ay, s.by) - {_PRE} AND GREATEST(s.ay, s.by) + {_PRE}
-   AND (s.tgt < 0 OR s.tgt <> e.line_id)
-  WHERE {_PSD} < {LNOCOVERLA_TOL_M}
+  FROM ppk e JOIN lsegc s ON s.cellx = e.cellx AND s.celly = e.celly
+  WHERE (s.tgt < 0 OR s.tgt <> e.line_id) AND {_PSD} < {LNOCOVERLA_TOL_M}
 )
 SELECT line_id FROM geo_lines
 WHERE line_id NOT IN (SELECT line_id FROM covered)
@@ -319,11 +359,11 @@ def _end_area_cover(spark: SparkSession) -> DataFrame:
 
 
 _ORACLE_END_AREA = f"""
+{_segc_sql('edges', 'edgec2', ax='ex1', ay='ey1', bx='ex2', by='ey2').strip()},
+{_pk_sql('ends', 'epk').strip()},
 cover AS (
   SELECT DISTINCT e.pid, e.line_id, e.end_which, s.area_id
-  FROM ends e JOIN edges s
-    ON e.px BETWEEN LEAST(s.ex1, s.ex2) - {_PRE} AND GREATEST(s.ex1, s.ex2) + {_PRE}
-   AND e.py BETWEEN LEAST(s.ey1, s.ey2) - {_PRE} AND GREATEST(s.ey1, s.ey2) + {_PRE}
+  FROM epk e JOIN edgec2 s ON s.cellx = e.cellx AND s.celly = e.celly
   WHERE {sql_point_seg_dist_m('e.px', 'e.py', 's.ex1', 's.ey1', 's.ex2', 's.ey2')}
         < {SPAN_TOL_M}
 )
@@ -352,7 +392,7 @@ def q_lspanfail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LSPANFAIL = f"""
 {oracle_cte('geo_lines', 'geo_vareas')},
-{_EDGES_CTE.strip()},
+{_EDGES_CTE.strip().replace('edges AS (', 'edges AS MATERIALIZED (')},
 {_ORACLE_ENDS.strip()},
 {_ORACLE_END_AREA.strip()},
 per_line AS (
@@ -382,7 +422,7 @@ def q_lnocov2a(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LNOCOV2A = f"""
 {oracle_cte('geo_lines', 'geo_vareas')},
-{_EDGES_CTE.strip()},
+{_EDGES_CTE.strip().replace('edges AS (', 'edges AS MATERIALIZED (')},
 {_ORACLE_ENDS.strip()},
 {_ORACLE_END_AREA.strip()},
 per_line AS (
@@ -476,3 +516,14 @@ ORACLES = {
     "geo_lnocov2a": ORACLE_LNOCOV2A,
     "geo_coincidefail": ORACLE_COINCIDEFAIL,
 }
+
+# DuckDB planning explodes when the UNION/CROSS-JOIN fixture views are
+# re-derived per reference (round-2 memory note): materialize them.
+def _matz(sql: str) -> str:
+    for v in ("geo_lines", "geo_vlines", "geo_vareas", "geo_sites",
+              "geo_lines_dup", "geo_points"):
+        sql = sql.replace(f"{v} AS (", f"{v} AS MATERIALIZED (")
+    return sql
+
+
+ORACLES = {k: _matz(v) for k, v in ORACLES.items()}

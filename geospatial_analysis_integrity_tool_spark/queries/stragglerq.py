@@ -280,7 +280,7 @@ def q_ptinproper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PTINPROPER = f"""
 {oracle_cte('geo_sites', 'geo_vareas')},
-{_EDGES_CTE.strip()},
+{_EDGES_CTE.strip().replace('edges AS (', 'edges AS MATERIALIZED (')},
 abbox AS (
   SELECT area_id, MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy
   FROM geo_vareas GROUP BY area_id
@@ -301,13 +301,19 @@ parity AS (
   FROM cand c JOIN edges e ON e.area_id = c.area_id
   GROUP BY 1, 2
 ),
-inside AS (SELECT site_id, area_id FROM parity WHERE nc % 2 = 1)
+inside AS MATERIALIZED (SELECT site_id, area_id FROM parity WHERE nc % 2 = 1),
+near_edge AS (
+  SELECT DISTINCT i.site_id, i.area_id
+  FROM inside i
+  JOIN geo_sites s ON s.site_id = i.site_id
+  JOIN edges e ON e.area_id = i.area_id
+  WHERE {sql_point_seg_dist_m('s.lon', 's.lat', 'e.ex1', 'e.ey1', 'e.ex2', 'e.ey2')}
+        < {PTINPROPER_EDGE_M}
+)
 SELECT i.site_id, i.area_id FROM inside i
 WHERE NOT EXISTS (
-  SELECT 1 FROM edges e JOIN geo_sites s ON s.site_id = i.site_id
-  WHERE e.area_id = i.area_id
-    AND {sql_point_seg_dist_m('s.lon', 's.lat', 'e.ex1', 'e.ey1', 'e.ex2', 'e.ey2')}
-        < {PTINPROPER_EDGE_M}
+  SELECT 1 FROM near_edge n
+  WHERE n.site_id = i.site_id AND n.area_id = i.area_id
 )
 """
 
@@ -825,3 +831,14 @@ ORACLES = {
     "vvt_1way": _oracle_vvt_1way(),
     "attr_tportrayf": _oracle_tportrayf(),
 }
+
+# DuckDB planning explodes when the UNION/CROSS-JOIN fixture views are
+# re-derived per reference (round-2 memory note): materialize them.
+def _matz(sql: str) -> str:
+    for v in ("geo_lines", "geo_vlines", "geo_vareas", "geo_sites",
+              "geo_lines_dup", "geo_points"):
+        sql = sql.replace(f"{v} AS (", f"{v} AS MATERIALIZED (")
+    return sql
+
+
+ORACLES = {k: _matz(v) for k, v in ORACLES.items()}

@@ -57,7 +57,7 @@ from ..operators.proximity import (
     point_to_segment_proximity,
 )
 from ..sources.synthetic import oracle_cte, register_geo_views
-from .coverageq import _line_ends, _line_segs
+from .coverageq import _line_ends, _line_segs, _pk_sql, _segc_sql
 
 LLINTAWAY_TOL_M = 40.0
 FEATNOTCUT_TOL_M = 30.0
@@ -399,13 +399,13 @@ ends AS MATERIALIZED (
   UNION ALL
   SELECT line_id, x3, y3 FROM geo_lines
 ),
+{_segc_sql('edges', 'edgec2', ax='ex1', ay='ey1', bx='ex2', by='ey2').strip()},
+{_pk_sql('ends', 'epk').strip()},
 near AS (
-  SELECT e.line_id, s.area_id,
+  SELECT DISTINCT e.line_id, s.area_id,
          CAST(floor({sql_point_seg_dist_m('e.px', 'e.py', 's.ex1', 's.ey1', 's.ex2', 's.ey2')}
               * 1000.0) AS BIGINT) AS dist_mm
-  FROM ends e JOIN edges s
-    ON e.px BETWEEN LEAST(s.ex1, s.ex2) - {_PRE} AND GREATEST(s.ex1, s.ex2) + {_PRE}
-   AND e.py BETWEEN LEAST(s.ey1, s.ey2) - {_PRE} AND GREATEST(s.ey1, s.ey2) + {_PRE}
+  FROM epk e JOIN edgec2 s ON s.cellx = e.cellx AND s.celly = e.celly
   WHERE {sql_point_seg_dist_m('e.px', 'e.py', 's.ex1', 's.ey1', 's.ex2', 's.ey2')} > 0.0
     AND {sql_point_seg_dist_m('e.px', 'e.py', 's.ex1', 's.ey1', 's.ex2', 's.ey2')}
         < {LAPROX_TOL_M}
@@ -752,7 +752,11 @@ WHERE {_DFD} > 0.0 AND {_DFD} < {LUSHTL_DF_TOL_M}
 def _oracle_laprox() -> str:
     from .vgeomq import _EDGES_CTE
 
-    return ORACLE_LAPROX.format(edges_cte=_EDGES_CTE.strip())
+    return ORACLE_LAPROX.format(
+        edges_cte=_EDGES_CTE.strip().replace(
+            'edges AS (', 'edges AS MATERIALIZED ('
+        )
+    )
 
 
 QUERIES = {
@@ -786,3 +790,14 @@ ORACLES = {
     "geo_bndryundersht": ORACLE_BNDRYUNDERSHT,
     "geo_lushtl_df": ORACLE_LUSHTL_DF,
 }
+
+# DuckDB planning explodes when the UNION/CROSS-JOIN fixture views are
+# re-derived per reference (round-2 memory note): materialize them.
+def _matz(sql: str) -> str:
+    for v in ("geo_lines", "geo_vlines", "geo_vareas", "geo_sites",
+              "geo_lines_dup", "geo_points"):
+        sql = sql.replace(f"{v} AS (", f"{v} AS MATERIALIZED (")
+    return sql
+
+
+ORACLES = {k: _matz(v) for k, v in ORACLES.items()}
