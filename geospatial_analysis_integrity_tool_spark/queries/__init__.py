@@ -28,6 +28,7 @@ def all_queries():
         nonsql,
         overlay,
         overshootq,
+        packagingq,
         raster2,
         rasterhydro,
         rastermask,
@@ -72,6 +73,7 @@ def all_queries():
         morechecks,
         metadataq,
         mgcpq,
+        packagingq,
         misc,
         uomq,
         specq,

@@ -629,3 +629,74 @@ ORACLES = {
     "geo_clamp_nflat": ORACLE_CLAMP_NFLAT,
     "geo_clamp_seg": ORACLE_CLAMP_SEG,
 }
+
+
+# --- geo_anetisoa (ANETISOA 122) ------------------------------------------------
+#
+# "Area not transitively connected to another area by shared edges"
+# (errors.c:11349; transitive propagation moregeomchecks.c:2749).  Features:
+# one unit-square areal per water post; adjacency comes from CANONICAL EDGE
+# KEY matching (two squares are neighbors iff a quantized edge key appears
+# twice — MatchAreaEdge semantics, geomchecks.c:38163), components from the
+# generic pointer-doubling operator, and the condition is membership in a
+# component smaller than the threshold.  The oracle knows the transitive
+# closure in closed form (components ARE the lattice ponds), so the gate
+# ground-truths edge-key adjacency + CC together.
+
+ANETISOA_MIN_AREAS = 6
+
+
+def q_anetisoa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    water = _hposts(spark).filter(F.expr(WATER)).selectExpr(
+        f"gy * {G} + gx AS area_gid", "gx", "gy"
+    )
+    # canonical corner ids on the (G+1)^2 corner lattice; edge key packs the
+    # sorted corner pair
+    corners = {
+        "c00": f"gy * {G + 1} + gx",
+        "c10": f"gy * {G + 1} + gx + 1",
+        "c01": f"(gy + 1) * {G + 1} + gx",
+        "c11": f"(gy + 1) * {G + 1} + gx + 1",
+    }
+    edge_exprs = [
+        f"least({corners['c00']}, {corners['c10']}) * 1000000000"
+        f" + greatest({corners['c00']}, {corners['c10']})",
+        f"least({corners['c01']}, {corners['c11']}) * 1000000000"
+        f" + greatest({corners['c01']}, {corners['c11']})",
+        f"least({corners['c00']}, {corners['c01']}) * 1000000000"
+        f" + greatest({corners['c00']}, {corners['c01']})",
+        f"least({corners['c10']}, {corners['c11']}) * 1000000000"
+        f" + greatest({corners['c10']}, {corners['c11']})",
+    ]
+    edges = water.selectExpr(
+        "area_gid", f"explode(array({', '.join(edge_exprs)})) AS ekey"
+    )
+    adj = (
+        edges.selectExpr("area_gid AS a", "ekey")
+        .join(edges.selectExpr("area_gid AS b", "ekey"), "ekey")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    comps = min_label_components(water.selectExpr("area_gid AS id"), adj)
+    sizes = comps.groupBy("component_id").agg(F.count("*").alias("n_areas"))
+    return (
+        comps.join(sizes, "component_id")
+        .filter(F.col("n_areas") < ANETISOA_MIN_AREAS)
+        .selectExpr("id AS area_gid", "CAST(n_areas AS BIGINT) AS n_areas")
+    )
+
+
+ORACLE_ANETISOA = f"""
+WITH {_ORACLE_POSTS.strip()},
+ponds AS MATERIALIZED (
+  SELECT gy * {G} + gx AS area_gid, {_POND_LABEL} AS pond,
+         ((sx * 7 + sy * 13) % 5 + 2) * ((sx * 11 + sy * 3) % 4 + 2) AS n_areas
+  FROM posts WHERE {WATER}
+)
+SELECT area_gid, CAST(n_areas AS BIGINT) AS n_areas
+FROM ponds WHERE n_areas < {ANETISOA_MIN_AREAS}
+"""
+
+QUERIES["geo_anetisoa"] = q_anetisoa
+ORACLES["geo_anetisoa"] = ORACLE_ANETISOA
