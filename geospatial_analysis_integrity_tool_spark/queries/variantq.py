@@ -801,3 +801,43 @@ def _matz(sql: str) -> str:
 
 
 ORACLES = {k: _matz(v) for k, v in ORACLES.items()}
+
+
+# --- geo_loc_multint (LOC_MULTINT 127) ------------------------------------------
+#
+# "Lines with no or compatible LOC values intersect each other multiple
+# times" (errors.c:11530) — the attribute-gated form of LLMULTINT over the
+# variable-vertex lines: the repeated-crossing rollup fires only when both
+# features carry the same LOC classification (derived deterministically as
+# line_id % 5 in this schema).
+
+
+def q_loc_multint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intersections import segments_of_vertices
+    from .vgeomq import CELL
+
+    register_geo_views(spark, sf_dir)
+    x = segment_intersections(
+        segments_of_vertices(spark.table("geo_vlines")), cell_deg=CELL
+    )
+    return (
+        x.filter(F.expr("id_a % 5 = id_b % 5"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_crossings"))
+        .filter(F.col("n_crossings") > 1)
+    )
+
+
+def _oracle_loc_multint() -> str:
+    from .vgeomq import ORACLE_LLINT_V
+
+    return f"""
+WITH llint AS ({ORACLE_LLINT_V})
+SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_crossings
+FROM llint WHERE id_a % 5 = id_b % 5
+GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+
+QUERIES["geo_loc_multint"] = q_loc_multint
+ORACLES["geo_loc_multint"] = _matz(_oracle_loc_multint())
