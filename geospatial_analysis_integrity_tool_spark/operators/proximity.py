@@ -189,12 +189,93 @@ def point_to_segment_proximity(
         F.least(F.col(ay), F.col(by)).alias("_miny"),
         F.greatest(F.col(ay), F.col(by)).alias("_maxy"),
     )
-    segs_cells = explode_bbox_cells(segs, "_minx", "_maxx", "_miny", "_maxy", cell_deg)
+    # Long diagonal segments must NOT take the bbox cell cover: a 4-degree
+    # diagonal covers 160k bbox cells but its tolerance corridor only touches
+    # ~400.  Split: short segments (bbox <= ~3x3 cells) keep the plain bbox
+    # cover (probe k-ring guarantees capture); long segments explode to
+    # SAMPLED corridor cells — one sample per cell step along the dominant
+    # axis, each with its own 3x3 ring, so a point within one cell of the
+    # segment always shares a cell with some sample's ring (probe ring covers
+    # the remaining one-cell separation).
+    ncell = (
+        (F.floor(F.col("_maxx") / cell_deg) - F.floor(F.col("_minx") / cell_deg) + 1)
+        * (F.floor(F.col("_maxy") / cell_deg) - F.floor(F.col("_miny") / cell_deg) + 1)
+    )
+    short = segs.filter(ncell <= 9)
+    long = segs.filter(ncell > 9)
+    short_cells = explode_bbox_cells(
+        short, "_minx", "_maxx", "_miny", "_maxy", cell_deg
+    )
+    nsteps = F.greatest(
+        F.ceil(
+            F.greatest(
+                F.abs(F.col("_sbx") - F.col("_sax")),
+                F.abs(F.col("_sby") - F.col("_say")),
+            )
+            / F.lit(cell_deg)
+        ).cast("int"),
+        F.lit(1),
+    )
+    sampled = (
+        long.withColumn("_n", nsteps)
+        .withColumn("_i", F.explode(F.expr("sequence(0, _n)")))
+        .withColumn(
+            "_sx", F.col("_sax") + (F.col("_sbx") - F.col("_sax")) * F.col("_i") / F.col("_n")
+        )
+        .withColumn(
+            "_sy", F.col("_say") + (F.col("_sby") - F.col("_say")) * F.col("_i") / F.col("_n")
+        )
+    )
+    ring = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    long_cells = (
+        sampled.withColumn("_dx", F.explode(ring))
+        .withColumn("_dy", F.explode(ring))
+        .withColumn(
+            "cell",
+            cell_id(
+                F.floor(F.col("_sx") / cell_deg) + F.col("_dx"),
+                F.floor(F.col("_sy") / cell_deg) + F.col("_dy"),
+            ),
+        )
+        .dropDuplicates([seg_id, "cell"])
+        .select(*short_cells.columns)
+    )
+    segs_cells = short_cells.unionByName(long_cells)
 
     pts = points.select(F.col(point_id), F.col(px).alias("_px"), F.col(py).alias("_py"))
     pts_cells = _with_kring_cells(pts, "_px", "_py", cell_deg)
 
     pairs = pts_cells.join(segs_cells, "cell")
+    # cheap DEGREE-space corridor prefilter before the poly-cos meter refine:
+    # meter distance >= 45277 * degree distance for |lat| <= 66, so
+    # d_deg < tol/45000 is a safe superset of dist_m < tol.  Long segments
+    # cover many cells (a 4-degree feature spans ~400), so cell matches vastly
+    # outnumber true candidates — this one-line filter cut a 285M-pair join
+    # to the true corridor at sf0.1.
+    tol_deg = tol_m / 45000.0
+    pre = (
+        "(CASE WHEN (_c2p) <= 0.0 THEN (_wxp) * (_wxp) + (_wyp) * (_wyp)"
+        " WHEN (_c1p) <= 0.0 THEN (_wxp) * (_wxp) + (_wyp) * (_wyp)"
+        " WHEN (_c1p) >= (_c2p) THEN"
+        "  (_px - _sbx) * (_px - _sbx) + (_py - _sby) * (_py - _sby)"
+        " ELSE ((_wxp) - (_c1p) / (_c2p) * (_vxp))"
+        "      * ((_wxp) - (_c1p) / (_c2p) * (_vxp))"
+        "      + ((_wyp) - (_c1p) / (_c2p) * (_vyp))"
+        "      * ((_wyp) - (_c1p) / (_c2p) * (_vyp)) END)"
+        .replace("_vxp", "(_sbx - _sax)")
+        .replace("_vyp", "(_sby - _say)")
+        .replace("_wxp", "(_px - _sax)")
+        .replace("_wyp", "(_py - _say)")
+        .replace(
+            "_c1p",
+            "((_sbx - _sax) * (_px - _sax) + (_sby - _say) * (_py - _say))",
+        )
+        .replace(
+            "_c2p",
+            "((_sbx - _sax) * (_sbx - _sax) + (_sby - _say) * (_sby - _say))",
+        )
+    )
+    pairs = pairs.filter(F.expr(f"{pre} < {tol_deg * tol_deg}"))
     d = F.expr(sql_point_seg_dist_m("_px", "_py", "_sax", "_say", "_sbx", "_sby"))
     lower = (d > F.lit(0.0)) if open_interval else (d >= F.lit(0.0))
     # a (point, seg_id) pair can qualify through SEVERAL underlying rows —

@@ -189,21 +189,42 @@ _ORACLE_SEG_CAND = f"""
 
 
 def q_lenocoverl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line end nodes with no OTHER line segment within tolerance."""
+    """Line end nodes with no OTHER line segment within tolerance.
+
+    Web-extracted geometry is coincidence-heavy (many features share exact
+    geometry), which makes a naive cell join quadratic in the multiplicity:
+    37 coincident lines per lattice point at sf0.1 meant ~500M candidate
+    pairs.  The join therefore runs against DISTINCT segment geometries
+    carrying (min owner, owner count): a distinct segment covers an end
+    unless its ONLY owner is the end's own line — row-identical output, and
+    candidate volume proportional to distinct geometry, not duplication.
+    """
     register_geo_views(spark, sf_dir)
     lines = spark.table("geo_lines")
     ends = _line_ends(lines)
-    segs = _line_segs(lines).selectExpr(
-        "line_id AS tgt_id", "ax", "ay", "bx", "by"
+    dsegs = (
+        _line_segs(lines)
+        .groupBy("ax", "ay", "bx", "by")
+        .agg(
+            F.min("line_id").alias("_owner1"),
+            F.countDistinct("line_id").alias("_nown"),
+        )
+        .selectExpr(
+            # deterministic geometry key (monotonically_increasing_id would
+            # be re-evaluated differently on each reference of this frame)
+            "xxhash64(ax, ay, bx, by) AS tgt_id",
+            "ax", "ay", "bx", "by", "_owner1", "_nown",
+        )
     )
     near = point_to_segment_proximity(
         ends.selectExpr("pid AS src_id", "px", "py"),
-        segs,
+        dsegs.select("tgt_id", "ax", "ay", "bx", "by"),
         tol_m=LCOVER_TOL_M,
         open_interval=False,
     )
     covered = (
-        near.filter(F.expr("src_id DIV 2 <> tgt_id"))
+        near.join(dsegs.select("tgt_id", "_owner1", "_nown"), "tgt_id")
+        .filter(F.expr("_nown >= 2 OR _owner1 <> src_id DIV 2"))
         .select(F.col("src_id").alias("pid"))
         .distinct()
     )

@@ -842,3 +842,8 @@ def _matz(sql: str) -> str:
 
 
 ORACLES = {k: _matz(v) for k, v in ORACLES.items()}
+# P_O_LOOP nests ORACLE_LOOPS (which carries its own geo_vlines CTE) inside a
+# subquery; materializing BOTH scopes makes DuckDB hoist them into one query
+# and fail with "Duplicate alias" — keep this one unmaterialized (it was
+# already fast).
+ORACLES["geo_p_o_loop"] = _oracle_p_o_loop()
