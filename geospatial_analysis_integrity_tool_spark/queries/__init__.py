@@ -15,6 +15,7 @@ def all_queries():
         coverage2,
         coverageq,
         demchecks2,
+        edgematch3,
         edgematchq,
         embeddings,
         endptq,
@@ -66,6 +67,7 @@ def all_queries():
         checks2,
         checks3,
         edgematchq,
+        edgematch3,
         endptq,
         variantq,
         networksq,
