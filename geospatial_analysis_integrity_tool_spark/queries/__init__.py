@@ -18,6 +18,7 @@ def all_queries():
         edgematch3,
         edgematchq,
         embeddings,
+        lavariants,
         endptq,
         geometry,
         metadataq,
@@ -68,6 +69,7 @@ def all_queries():
         checks3,
         edgematchq,
         edgematch3,
+        lavariants,
         endptq,
         variantq,
         networksq,
