@@ -100,6 +100,7 @@ def main() -> None:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     spatial_time = 0.0
+    sc = spark.sparkContext
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
@@ -108,6 +109,12 @@ def main() -> None:
         times[name] = round(dt, 3)
         if name in SPATIAL:
             spatial_time += dt
+        # Drop cached DataFrames and localCheckpoint blocks left behind by the
+        # query just measured so 30+ queries don't accumulate block-manager
+        # state (memory pressure inflates later queries' times).
+        spark.catalog.clearCache()
+        for rdd in sc._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     total = round(sum(times.values()), 3)
     out = {

@@ -158,3 +158,71 @@ def sql_point_seg_dist_m(px: str, py: str, ax: str, ay: str, bx: str, by: str) -
     dx = f"({wx} - {t} * {vx})"
     dy = f"({wy} - {t} * {vy})"
     return f"sqrt({dx} * {dx} + {dy} * {dy})"
+
+
+def with_point_seg_dist_m(
+    df,
+    px: str,
+    py: str,
+    ax: str,
+    ay: str,
+    bx: str,
+    by: str,
+    out: str = "_d",
+    block_pushdown: bool = False,
+):
+    """Staged-column twin of :func:`sql_point_seg_dist_m` for the ENGINE side.
+
+    The flat SQL text expands every intermediate inline — ``t`` repeats ``c1``
+    three times, ``c1`` repeats the Taylor ``mlon`` eight times — so the full
+    fragment is ~49 KB and a Project evaluating it on millions of candidate
+    pairs blows the JVM's 64 KB method limit (janino InternalCompilerException
+    → whole-stage falls back to INTERPRETED eval; measured 31 s vs 4 s on the
+    sf0.1 coverage fixture).  Here each intermediate is its own projected
+    column; Catalyst's CollapseProject keeps multiply-referenced non-cheap
+    aliases as separate projections, so every codegen method stays small.
+
+    Bit-identical to the SQL text: the same IEEE-754 operations in the same
+    order (avg_lat -> poly-cos mlon -> meter coords -> v/w -> c1/c2 -> CASE t
+    -> residual -> sqrt), so ``<`` tolerance comparisons agree with the DuckDB
+    oracle to the last bit.
+
+    Returns df with ONE added column ``out``; all ``_psd_*`` scratch columns
+    are dropped.
+
+    block_pushdown: when the result feeds a Filter directly above a join,
+    PushPredicateThroughJoin re-inlines every staged alias into the join
+    CONDITION — a single ~110 KB expression that fails codegen and is then
+    evaluated interpreted per cell-pair.  Setting this adds ``+ rand(7)*0.0``
+    to the OUTPUT column: numerically the identity (distances are >= 0, and
+    x + 0.0 is bit-identical for every non-negative x), but it marks the
+    column non-deterministic, so Catalyst keeps the tolerance filter as a
+    post-join staged Filter (which compiles) instead of inlining it.
+    """
+    from pyspark.sql import functions as F
+
+    poly = sql_coslat_poly("_psd_avglat")
+    scratch = [
+        ("_psd_avglat", f"((({ay}) + ({by})) * 0.5)"),
+        ("_psd_mlon", f"(111319.5 * {poly})"),
+        ("_psd_vx", f"(((({bx})) * _psd_mlon) - ((({ax})) * _psd_mlon))"),
+        ("_psd_vy", f"(((({by})) * 111319.5) - ((({ay})) * 111319.5))"),
+        ("_psd_wx", f"(((({px})) * _psd_mlon) - ((({ax})) * _psd_mlon))"),
+        ("_psd_wy", f"(((({py})) * 111319.5) - ((({ay})) * 111319.5))"),
+        ("_psd_c1", "(_psd_vx * _psd_wx + _psd_vy * _psd_wy)"),
+        ("_psd_c2", "(_psd_vx * _psd_vx + _psd_vy * _psd_vy)"),
+        (
+            "_psd_t",
+            "(CASE WHEN _psd_c1 <= 0.0 THEN 0.0 WHEN _psd_c1 >= _psd_c2"
+            " THEN 1.0 ELSE _psd_c1 / _psd_c2 END)",
+        ),
+        ("_psd_dx", "(_psd_wx - _psd_t * _psd_vx)"),
+        ("_psd_dy", "(_psd_wy - _psd_t * _psd_vy)"),
+    ]
+    for name, expr in scratch:
+        df = df.withColumn(name, F.expr(expr))
+    taint = " + rand(7) * 0.0" if block_pushdown else ""
+    df = df.withColumn(
+        out, F.expr(f"sqrt(_psd_dx * _psd_dx + _psd_dy * _psd_dy){taint}")
+    )
+    return df.drop(*[n for n, _ in scratch])

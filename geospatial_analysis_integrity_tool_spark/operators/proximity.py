@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.geodesy import sql_dist_m, sql_point_seg_dist_m
+from ..functions.geodesy import (
+    sql_dist_m,
+    sql_point_seg_dist_m,
+    with_point_seg_dist_m,
+)
 from .pip import cell_id, explode_bbox_cells
 
 
@@ -149,7 +153,7 @@ def knn_points(
     )
 
 
-def point_to_segment_proximity(
+def point_seg_candidates(
     points: DataFrame,
     segments: DataFrame,
     tol_m: float,
@@ -163,23 +167,27 @@ def point_to_segment_proximity(
     by: str = "by",
     cell_deg: float = 0.01,
     open_interval: bool = True,
+    keep_seg_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """End-node -> segment distance join: GAIT's undershoot template
-    (LUNDERSHTL, OPENINT 0 < d < tol on end-node-to-line distance,
-    geomchecks.c:6432-6753).
+    """Qualifying (point, segment) pairs BEFORE any per-pair aggregation.
 
-    points:   (point_id, px, py)  — e.g. dangling line end nodes
-    segments: (seg_id, ax, ay, bx, by)
-    Returns (point_id, seg_id, dist_mm) for pairs with 0 < d < tol_m
-    (closed lower bound if open_interval=False), point's own feature excluded
-    by the caller via ids.
+    Returns (point_id, seg_id, *keep_seg_cols, _d) for every candidate pair
+    with distance < tol_m.  A pair may appear MORE THAN ONCE (a point's k-ring
+    and a segment's cell cover can co-locate the same pair through several
+    cells) — callers that need set semantics must aggregate or distinct.
+    Coverage-style checks ("is this point covered by ANY segment passing a
+    predicate?") should consume this directly and reduce straight to a
+    distinct point set: routing through point_to_segment_proximity first
+    forces a (point, seg) hash aggregate over millions of pairs plus a
+    join-back for the segment attributes, which at sf0.1 tripled the
+    LENOCOVERL wall time.
 
-    Build side = segments duplicated into bbox-covered cells; probe side =
-    points duplicated into their 3x3 k-ring, so any pair within one cell width
-    is guaranteed to co-locate.  Requires cell_deg >= tol_m in degrees.
+    keep_seg_cols: extra segment-side columns carried through the cell join
+    (e.g. owner/count metadata), avoiding a re-join on seg_id afterwards.
     """
     segs = segments.select(
         F.col(seg_id),
+        *[F.col(c) for c in keep_seg_cols],
         F.col(ax).alias("_sax"),
         F.col(ay).alias("_say"),
         F.col(bx).alias("_sbx"),
@@ -276,21 +284,79 @@ def point_to_segment_proximity(
         )
     )
     pairs = pairs.filter(F.expr(f"{pre} < {tol_deg * tol_deg}"))
-    d = F.expr(sql_point_seg_dist_m("_px", "_py", "_sax", "_say", "_sbx", "_sby"))
-    lower = (d > F.lit(0.0)) if open_interval else (d >= F.lit(0.0))
+    # staged-column refine: the flat sql_point_seg_dist_m text is ~49 KB and
+    # fails janino's 64 KB method limit (interpreted fallback, ~8x slower on
+    # the candidate volume); the staged twin is bit-identical (see geodesy).
+    pairs = with_point_seg_dist_m(
+        pairs,
+        "_px",
+        "_py",
+        "_sax",
+        "_say",
+        "_sbx",
+        "_sby",
+        out="_d",
+        block_pushdown=True,
+    )
+    lower = (
+        (F.col("_d") > F.lit(0.0))
+        if open_interval
+        else (F.col("_d") >= F.lit(0.0))
+    )
+    return pairs.filter(lower & (F.col("_d") < F.lit(tol_m))).select(
+        point_id, seg_id, *keep_seg_cols, "_d"
+    )
+
+
+def point_to_segment_proximity(
+    points: DataFrame,
+    segments: DataFrame,
+    tol_m: float,
+    point_id: str = "src_id",
+    px: str = "px",
+    py: str = "py",
+    seg_id: str = "tgt_id",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    cell_deg: float = 0.01,
+    open_interval: bool = True,
+) -> DataFrame:
+    """End-node -> segment distance join: GAIT's undershoot template
+    (LUNDERSHTL, OPENINT 0 < d < tol on end-node-to-line distance,
+    geomchecks.c:6432-6753).
+
+    points:   (point_id, px, py)  — e.g. dangling line end nodes
+    segments: (seg_id, ax, ay, bx, by)
+    Returns (point_id, seg_id, dist_mm) for pairs with 0 < d < tol_m
+    (closed lower bound if open_interval=False), point's own feature excluded
+    by the caller via ids.
+
+    Build side = segments duplicated into bbox-covered cells; probe side =
+    points duplicated into their 3x3 k-ring, so any pair within one cell width
+    is guaranteed to co-locate.  Requires cell_deg >= tol_m in degrees.
+    """
+    pairs = point_seg_candidates(
+        points,
+        segments,
+        tol_m,
+        point_id=point_id,
+        px=px,
+        py=py,
+        seg_id=seg_id,
+        ax=ax,
+        ay=ay,
+        bx=bx,
+        by=by,
+        cell_deg=cell_deg,
+        open_interval=open_interval,
+    )
     # a (point, seg_id) pair can qualify through SEVERAL underlying rows —
     # duplicate cells of the k-ring (same distance) or, when the caller maps
     # several segments to one seg_id, different segments with DIFFERENT
     # distances.  Aggregate the MIN so the reported distance is
     # deterministic (dropDuplicates kept an arbitrary row).
-    out = (
-        pairs.withColumn("_d", d)
-        .filter(lower & (F.col("_d") < F.lit(tol_m)))
-        .groupBy(point_id, seg_id)
-        .agg(
-            F.min(
-                F.expr("CAST(floor(_d * 1000.0) AS BIGINT)")
-            ).alias("dist_mm")
-        )
+    return pairs.groupBy(point_id, seg_id).agg(
+        F.min(F.expr("CAST(floor(_d * 1000.0) AS BIGINT)")).alias("dist_mm")
     )
-    return out

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.geodesy import sql_dist_m, sql_point_seg_dist_m
-from ..operators.proximity import point_to_segment_proximity
+from ..operators.proximity import point_seg_candidates
 from ..sources.synthetic import GEO_VIEWS, oracle_cte, register_geo_views
 from .vgeomq import _EDGES_CTE, _area_edges
 
@@ -45,6 +45,13 @@ SPAN_TOL_M = 150.0      # LSPANFAIL / LNOCOV2A
 LNOCOVERLA_TOL_M = 25.0 # LNOCOVERLA: tighter, so the fixture has a real mix
 _PRE = 0.003            # oracle bbox prefilter half-width (deg) >= tol
 
+# Engine candidate-cell widths.  Correctness only needs cell_deg >= the
+# tolerance in degrees (150 m = 0.0019 deg lon at lat 44.5); the 0.01 default
+# is ~7x that, and candidate volume scales with cell area, so a tolerance-
+# matched width cuts refine work ~16x on the sf0.1 lattice fixtures.
+_CELL_150M = 0.0025
+_CELL_25M = 0.0005
+
 
 # --- geo_pnocoverle (PNOCOVERLE 141) -------------------------------------------
 
@@ -53,7 +60,7 @@ def q_pnocoverle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point features (geo_sites) with NO line end node within tolerance."""
     register_geo_views(spark, sf_dir)
     sites = spark.table("geo_sites").select("site_id", "lon", "lat")
-    lines = spark.table("geo_lines")
+    lines = _lines_narrow(spark)
     ends = lines.selectExpr("x1 AS ex", "y1 AS ey").unionByName(
         lines.selectExpr("x3 AS ex", "y3 AS ey")
     )
@@ -95,6 +102,21 @@ WHERE site_id NOT IN (SELECT site_id FROM covered)
 
 
 # --- shared: geo_lines end nodes and segments ----------------------------------
+
+
+def _lines_narrow(spark: SparkSession) -> DataFrame:
+    """geo_lines coordinates, persisted once per session.
+
+    Coverage checks scan geo_lines up to 7x (two union legs for end nodes, two
+    for segments, the distinct-segment rollup, the final anti-join), and the
+    view is synthesis SQL costing ~4 s per derivation at sf0.1.  Persisting
+    the 7-column projection (150k rows, ~10 MB — per-executor memory even at
+    100x) turns that into one derivation; bench.py unpersists between queries.
+    """
+    df = spark.table("geo_lines").select(
+        "line_id", "x1", "y1", "x2", "y2", "x3", "y3"
+    )
+    return df.persist()
 
 
 def _line_ends(lines: DataFrame) -> DataFrame:
@@ -200,7 +222,7 @@ def q_lenocoverl(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate volume proportional to distinct geometry, not duplication.
     """
     register_geo_views(spark, sf_dir)
-    lines = spark.table("geo_lines")
+    lines = _lines_narrow(spark)
     ends = _line_ends(lines)
     dsegs = (
         _line_segs(lines)
@@ -216,15 +238,16 @@ def q_lenocoverl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ax", "ay", "bx", "by", "_owner1", "_nown",
         )
     )
-    near = point_to_segment_proximity(
+    cand = point_seg_candidates(
         ends.selectExpr("pid AS src_id", "px", "py"),
-        dsegs.select("tgt_id", "ax", "ay", "bx", "by"),
+        dsegs,
         tol_m=LCOVER_TOL_M,
+        cell_deg=_CELL_150M,
         open_interval=False,
+        keep_seg_cols=("_owner1", "_nown"),
     )
     covered = (
-        near.join(dsegs.select("tgt_id", "_owner1", "_nown"), "tgt_id")
-        .filter(F.expr("_nown >= 2 OR _owner1 <> src_id DIV 2"))
+        cand.filter(F.expr("_nown >= 2 OR _owner1 <> src_id DIV 2"))
         .select(F.col("src_id").alias("pid"))
         .distinct()
     )
@@ -256,20 +279,21 @@ def q_nolcovle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Like LENOCOVERL, but the line may cover its own end with a
     NON-ADJACENT segment (end 0's adjacent segment is 1; end 1's is 2)."""
     register_geo_views(spark, sf_dir)
-    lines = spark.table("geo_lines")
+    lines = _lines_narrow(spark)
     ends = _line_ends(lines)
     segs = _line_segs(lines).selectExpr(
         "line_id * 10 + seg_which AS tgt_id", "ax", "ay", "bx", "by"
     )
-    near = point_to_segment_proximity(
+    cand = point_seg_candidates(
         ends.selectExpr("pid AS src_id", "px", "py"),
         segs,
         tol_m=LCOVER_TOL_M,
+        cell_deg=_CELL_150M,
         open_interval=False,
     )
     # adjacency exclusion: end 0 <-> seg 1, end 1 <-> seg 2 of the same line
     covered = (
-        near.filter(
+        cand.filter(
             F.expr(
                 "NOT (src_id DIV 2 = tgt_id DIV 10"
                 " AND tgt_id % 10 = src_id % 2 + 1)"
@@ -307,7 +331,7 @@ def q_lnocoverla(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line (probed at its first-segment midpoint) covered by neither another
     line's segment nor an areal ring edge."""
     register_geo_views(spark, sf_dir)
-    lines = spark.table("geo_lines")
+    lines = _lines_narrow(spark)
     probes = lines.selectExpr(
         "line_id AS src_id",
         "(x1 + x2) * 0.5 AS px",
@@ -320,12 +344,13 @@ def q_lnocoverla(spark: SparkSession, sf_dir: str) -> DataFrame:
         "-1 - area_id AS tgt_id",  # disjoint id space from line ids
         "ex1 AS ax", "ey1 AS ay", "ex2 AS bx", "ey2 AS by",
     )
-    near = point_to_segment_proximity(
+    cand = point_seg_candidates(
         probes, lsegs.unionByName(aedges), tol_m=LNOCOVERLA_TOL_M,
+        cell_deg=_CELL_25M,
         open_interval=False,
     )
     covered = (
-        near.filter(F.expr("tgt_id < 0 OR tgt_id <> src_id"))
+        cand.filter(F.expr("tgt_id < 0 OR tgt_id <> src_id"))
         .select(F.col("src_id").alias("line_id"))
         .distinct()
     )
@@ -362,18 +387,21 @@ WHERE line_id NOT IN (SELECT line_id FROM covered)
 
 def _end_area_cover(spark: SparkSession) -> DataFrame:
     """(pid, line_id, end_which, area_id) end-node-to-areal-edge coverage."""
-    lines = spark.table("geo_lines")
+    lines = _lines_narrow(spark)
     ends = _line_ends(lines)
     aedges = _area_edges(spark).selectExpr(
         "area_id AS tgt_id", "ex1 AS ax", "ey1 AS ay", "ex2 AS bx", "ey2 AS by"
     )
-    near = point_to_segment_proximity(
+    cand = point_seg_candidates(
         ends.selectExpr("pid AS src_id", "px", "py"),
         aedges,
         tol_m=SPAN_TOL_M,
+        cell_deg=_CELL_150M,
         open_interval=False,
     )
-    return near.selectExpr(
+    # duplicate (pid, area_id) pairs are fine: downstream consumers reduce
+    # with distinct / countDistinct
+    return cand.selectExpr(
         "src_id AS pid", "src_id DIV 2 AS line_id",
         "CAST(src_id % 2 AS INT) AS end_which", "tgt_id AS area_id",
     )
@@ -395,7 +423,7 @@ def q_lspanfail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lines that do NOT span between areal edges: at least one end node has
     no areal ring edge within tolerance.  Reports ends covered (0..1)."""
     register_geo_views(spark, sf_dir)
-    lines = spark.table("geo_lines")
+    lines = _lines_narrow(spark)
     cov = _end_area_cover(spark).select("line_id", "end_which").distinct()
     per_line = cov.groupBy("line_id").agg(
         F.count("*").alias("n_ends_covered")

@@ -69,13 +69,23 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup_first_seen(
         src, key_cols=["cond_key"], payload_cols=["batch_idx", "payload"]
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("first_seen_replay_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # The state-store partition count is frozen from spark.sql.shuffle.partitions
+    # at stream start.  The replay fixture is 5 micro-batches of 120 rows; at the
+    # session default (32) every tiny batch commits 32 state-store partitions,
+    # which is pure per-task overhead.  Pin a small count for the stream only —
+    # real deployments size this to the keyspace, not the session default.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("first_seen_replay_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(300)
     return spark.table("first_seen_replay_sink").select(
         "cond_key", "batch_idx", "payload"

@@ -296,7 +296,15 @@ GEO_VIEWS: dict[str, str] = {
 
 
 def register_geo_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register testdata + derived geometry views in one call."""
+    """Register testdata + derived geometry views in one call.
+
+    The geometry views are synthesis SQL over the parquet tables (hundreds of
+    expression ops per row), so a query that scans one several times should
+    persist a NARROW projection of it once (see e.g. coverageq._lines_narrow)
+    rather than re-deriving the fixture per scan.  Blanket cacheTable here
+    was tried and rejected: it materializes every column of every view and
+    penalizes the majority of queries that scan a view exactly once.
+    """
     register_testdata_views(spark, sf_dir)
     for name, sql in GEO_VIEWS.items():
         spark.sql(sql).createOrReplaceTempView(name)
