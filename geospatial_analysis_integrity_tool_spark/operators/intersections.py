@@ -220,7 +220,12 @@ def segment_intersections(
                - F.floor(F.least("say", "sby") / cell_deg) + 1)
         ),
     )
-
+    # NOTE: the three join paths below reference the segment frame five times
+    # (short twice, long three times).  A .persist() here was tried and
+    # REJECTED: A/B at sf0.1 showed warm runs 8-9 s recomputing vs 9.5-12 s
+    # persisted — the upstream is codegen arithmetic (cheaper than block
+    # serialization + memory pressure).  Re-evaluate only if the input comes
+    # from an expensive non-columnar source.
     short = segs.filter(F.col("_ncells") <= long_cells_cutoff)
     long = segs.filter(F.col("_ncells") > long_cells_cutoff)
 

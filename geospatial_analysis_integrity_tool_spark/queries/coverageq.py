@@ -105,18 +105,19 @@ WHERE site_id NOT IN (SELECT site_id FROM covered)
 
 
 def _lines_narrow(spark: SparkSession) -> DataFrame:
-    """geo_lines coordinates, persisted once per session.
+    """geo_lines coordinate projection (shared by the coverage checks).
 
-    Coverage checks scan geo_lines up to 7x (two union legs for end nodes, two
-    for segments, the distinct-segment rollup, the final anti-join), and the
-    view is synthesis SQL costing ~4 s per derivation at sf0.1.  Persisting
-    the 7-column projection (150k rows, ~10 MB — per-executor memory even at
-    100x) turns that into one derivation; bench.py unpersists between queries.
+    Coverage checks scan geo_lines up to 7x (end-node union legs, segment
+    legs, the distinct-segment rollup, the final anti-join).  A .persist()
+    here was tried and REJECTED by A/B at sf0.1 (warm 12-14 s recomputing vs
+    14-17 s persisted; cold 35 vs 40 s): the view is pure codegen arithmetic
+    over a parquet scan, cheaper to recompute than to serialize through the
+    block manager.  Keep the narrow projection so each re-derivation prunes
+    to 7 columns at the scan.
     """
-    df = spark.table("geo_lines").select(
+    return spark.table("geo_lines").select(
         "line_id", "x1", "y1", "x2", "y2", "x3", "y3"
     )
-    return df.persist()
 
 
 def _line_ends(lines: DataFrame) -> DataFrame:
