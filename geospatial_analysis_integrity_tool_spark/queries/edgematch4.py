@@ -310,7 +310,7 @@ near_edge AS (
   JOIN edges g
     ON g.ay BETWEEN e.ey - 0.0001 AND e.ey + 0.0001
    AND e.ex >= g.ax - 0.0001 AND e.ex <= g.bx + 0.0001
-  WHERE {_psd('e.ex', 'e.ey', 'g.ax', 'g.ay', 'g.bx', 'g.by')} <= {EDGE_TOL_M}
+  WHERE {_psd('e.ex', 'e.ey', 'g.ax', 'g.ay', 'g.bx', 'g.by')} < {EDGE_TOL_M}
   GROUP BY e.lid
 ),
 any_rescued AS (
@@ -433,7 +433,7 @@ FROM ends e
 JOIN edges g
   ON g.ay BETWEEN e.ey - 0.0001 AND e.ey + 0.0001
  AND e.ex >= g.ax - 0.0001 AND e.ex <= g.bx + 0.0001
-WHERE {_psd('e.ex', 'e.ey', 'g.ax', 'g.ay', 'g.bx', 'g.by')} <= {EDGE_TOL_M}
+WHERE {_psd('e.ex', 'e.ey', 'g.ax', 'g.ay', 'g.bx', 'g.by')} < {EDGE_TOL_M}
   AND NOT EXISTS (SELECT 1 FROM allowed al
                   WHERE al.fcode = e.fcode AND al.afcode = g.afcode)
 UNION ALL
