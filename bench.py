@@ -55,6 +55,11 @@ HEADLINE = [
     "attr_mgcp3_domains",
     "multimodal_features",
     "streaming_first_seen",
+    # round-3 late additions (condition-type completion)
+    "geo_areaintarea",
+    "geo_tear_checks",
+    "raster_kernel_stats",
+    "geo_lspint",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -31,14 +31,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 SHPT_NULL = 0
 SHPT_POINT = 1
+SHPT_MULTIPOINT = 8
 SHPT_POLYLINE = 3
 SHPT_POLYGON = 5
 SHPT_POINTZ = 11
 SHPT_POLYLINEZ = 13
 SHPT_POLYGONZ = 15
+SHPT_MULTIPOINTZ = 18
 SHPT_POINTM = 21
 SHPT_POLYLINEM = 23
 SHPT_POLYGONM = 25
+SHPT_MULTIPOINTM = 28
+SHPT_MULTIPATCH = 31
 
 _POLY_TYPES = {
     SHPT_POLYLINE,
@@ -48,7 +52,8 @@ _POLY_TYPES = {
     SHPT_POLYLINEM,
     SHPT_POLYGONM,
 }
-_Z_TYPES = {SHPT_POINTZ, SHPT_POLYLINEZ, SHPT_POLYGONZ}
+_MULTIPOINT_TYPES = {SHPT_MULTIPOINT, SHPT_MULTIPOINTZ, SHPT_MULTIPOINTM}
+_Z_TYPES = {SHPT_POINTZ, SHPT_POLYLINEZ, SHPT_POLYGONZ, SHPT_MULTIPOINTZ}
 
 
 def _header(shape_type: int, total_words: int, bbox: tuple[float, float, float, float]) -> bytes:
@@ -119,6 +124,56 @@ class ShpStreamWriter:
             content += struct.pack("<2d", min(zs), max(zs))
             for z in zs:
                 content += struct.pack("<d", z)
+        self._f.write(struct.pack(">ii", self.n, len(content) // 2) + content)
+
+    def add_multipoint(self, points: list[tuple[float, ...]]) -> None:
+        """MULTIPOINT/Z record (spec 8/18): points = [(x, y[, z]), ...]."""
+        has_z = self.shape_type == SHPT_MULTIPOINTZ
+        self.n += 1
+        xs = [p[0] for p in points]
+        ys = [p[1] for p in points]
+        self._grow(xs, ys)
+        content = struct.pack(
+            "<i4di", self.shape_type,
+            min(xs), min(ys), max(xs), max(ys), len(points),
+        )
+        for p in points:
+            content += struct.pack("<2d", p[0], p[1])
+        if has_z:
+            zs = [p[2] for p in points]
+            content += struct.pack("<2d", min(zs), max(zs))
+            for z in zs:
+                content += struct.pack("<d", z)
+        self._f.write(struct.pack(">ii", self.n, len(content) // 2) + content)
+
+    def add_multipatch(
+        self,
+        parts: list[list[tuple[float, float, float]]],
+        part_types: list[int],
+    ) -> None:
+        """MULTIPATCH record (spec 31): 3-D parts + per-part patch types
+        (0 strip, 1 fan, 2 outer ring, 3 inner ring, 4 first ring, 5 ring)."""
+        self.n += 1
+        pts = [p for part in parts for p in part]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        zs = [p[2] for p in pts]
+        self._grow(xs, ys)
+        content = struct.pack(
+            "<i4dii", SHPT_MULTIPATCH,
+            min(xs), min(ys), max(xs), max(ys), len(parts), len(pts),
+        )
+        off = 0
+        for part in parts:
+            content += struct.pack("<i", off)
+            off += len(part)
+        for t in part_types:
+            content += struct.pack("<i", t)
+        for p in pts:
+            content += struct.pack("<2d", p[0], p[1])
+        content += struct.pack("<2d", min(zs), max(zs))
+        for z in zs:
+            content += struct.pack("<d", z)
         self._f.write(struct.pack(">ii", self.n, len(content) // 2) + content)
 
     def close(self) -> None:
@@ -209,6 +264,51 @@ def parse_shp_bytes(data: bytes, source: str) -> pd.DataFrame:
                         pts[lo:hi, 0].tolist(),
                         pts[lo:hi, 1].tolist(),
                         zvals[lo:hi].tolist() if zvals is not None else [],
+                    )
+                )
+        elif stype in _MULTIPOINT_TYPES:
+            # MULTIPOINT/Z/M (spec: bbox + numpoints + xy [+ zrange + z]):
+            # one row PER POINT (part = point index), mirroring how the
+            # reference splits multipoint records into point features at
+            # import (ShapeWritePoint shape_import.c:4756)
+            (numpoints,) = struct.unpack("<i", content[36:40])
+            pts = np.frombuffer(
+                content, dtype="<f8", count=2 * numpoints, offset=40
+            ).reshape(numpoints, 2)
+            zvals = None
+            if stype == SHPT_MULTIPOINTZ:
+                z_off = 40 + 16 * numpoints + 16  # skip zmin/zmax
+                zvals = np.frombuffer(content, dtype="<f8", count=numpoints, offset=z_off)
+            for p in range(numpoints):
+                rows.append(
+                    (
+                        source, recno, p, stype,
+                        [float(pts[p, 0])], [float(pts[p, 1])],
+                        [float(zvals[p])] if zvals is not None else [],
+                    )
+                )
+        elif stype == SHPT_MULTIPATCH:
+            # MULTIPATCH (spec: bbox + numparts + numpoints + parts[] +
+            # partTypes[] + xy + zrange + z): one row per part; the part
+            # TYPE (strip/fan/ring) is not carried — the reference likewise
+            # reduces patches to areal rings at import
+            # (shape_import.c:8863-9009 dispatch)
+            numparts, numpoints = struct.unpack("<ii", content[36:44])
+            parts = np.frombuffer(content, dtype="<i4", count=numparts, offset=44)
+            pts_off = 44 + 8 * numparts  # parts[] then partTypes[]
+            pts = np.frombuffer(
+                content, dtype="<f8", count=2 * numpoints, offset=pts_off
+            ).reshape(numpoints, 2)
+            z_off = pts_off + 16 * numpoints + 16  # skip zmin/zmax
+            zvals = np.frombuffer(content, dtype="<f8", count=numpoints, offset=z_off)
+            bounds = list(parts) + [numpoints]
+            for p in range(numparts):
+                lo, hi = bounds[p], bounds[p + 1]
+                rows.append(
+                    (
+                        source, recno, p, stype,
+                        pts[lo:hi, 0].tolist(), pts[lo:hi, 1].tolist(),
+                        zvals[lo:hi].tolist(),
                     )
                 )
         else:

@@ -116,3 +116,59 @@ def test_dbf_roundtrip(spark):
     assert by[(2, "HGT")] == ("N", "11.25")
     assert by[(3, "WID")] == ("N", "")  # NULL -> blank
     assert len(rows) == 9
+
+
+def test_shp_multipoint_split_to_point_rows(spark):
+    from geospatial_analysis_integrity_tool_spark.sources.shapefile import (
+        SHPT_MULTIPOINT,
+        SHPT_MULTIPOINTZ,
+        ShpStreamWriter,
+        read_shp,
+    )
+
+    d = tempfile.mkdtemp(prefix="gait_shp_")
+    w = ShpStreamWriter(os.path.join(d, "mp.shp"), SHPT_MULTIPOINT)
+    w.add_multipoint([(12.5, 41.9), (12.6, 41.8), (12.7, 41.7)])
+    w.add_multipoint([(13.0, 42.0)])
+    w.close()
+    wz = ShpStreamWriter(os.path.join(d, "mpz.shp"), SHPT_MULTIPOINTZ)
+    wz.add_multipoint([(12.5, 41.9, 100.0), (12.6, 41.8, 200.0)])
+    wz.close()
+    rows = read_shp(spark, d + "/*.shp").collect()
+    mp = sorted(
+        (r for r in rows if r.shape_type == SHPT_MULTIPOINT),
+        key=lambda r: (r.recno, r.part),
+    )
+    # each point becomes its OWN row (shape_import.c:4756 split)
+    assert [(r.recno, r.part, r.xs[0], r.ys[0]) for r in mp] == [
+        (1, 0, 12.5, 41.9), (1, 1, 12.6, 41.8), (1, 2, 12.7, 41.7),
+        (2, 0, 13.0, 42.0),
+    ]
+    mpz = sorted(
+        (r for r in rows if r.shape_type == SHPT_MULTIPOINTZ),
+        key=lambda r: r.part,
+    )
+    assert [(r.xs[0], r.zs[0]) for r in mpz] == [(12.5, 100.0), (12.6, 200.0)]
+
+
+def test_shp_multipatch_parts_split(spark):
+    from geospatial_analysis_integrity_tool_spark.sources.shapefile import (
+        SHPT_MULTIPATCH,
+        ShpStreamWriter,
+        read_shp,
+    )
+
+    d = tempfile.mkdtemp(prefix="gait_shp_")
+    ring = [(10.0, 40.0, 5.0), (10.1, 40.0, 5.0), (10.1, 40.1, 5.0),
+            (10.0, 40.0, 5.0)]
+    strip = [(11.0, 41.0, 0.0), (11.0, 41.1, 1.0), (11.1, 41.0, 2.0),
+             (11.1, 41.1, 3.0)]
+    w = ShpStreamWriter(os.path.join(d, "patch.shp"), SHPT_MULTIPATCH)
+    w.add_multipatch([ring, strip], [2, 0])  # outer ring + triangle strip
+    w.close()
+    rows = sorted(read_shp(spark, d + "/*.shp").collect(), key=lambda r: r.part)
+    assert [r.shape_type for r in rows] == [SHPT_MULTIPATCH] * 2
+    assert rows[0].xs == [10.0, 10.1, 10.1, 10.0]
+    assert rows[0].zs == [5.0, 5.0, 5.0, 5.0]
+    assert rows[1].ys == [41.0, 41.1, 41.0, 41.1]
+    assert rows[1].zs == [0.0, 1.0, 2.0, 3.0]
