@@ -1,4 +1,4 @@
-"""Role gating (gated), SimHash dedup (rows-only), multimodal header decode (gated)."""
+"""Role gating, SimHash dedup, multimodal header decode — all oracle-gated."""
 
 from __future__ import annotations
 
@@ -67,7 +67,7 @@ UNION ALL
 """
 
 
-# --- dedup_simhash (rows-only; kernel pytest-gated) ---------------------------
+# --- dedup_simhash (GATED: md5 token-hash simhash re-derived in SQL) ----------
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     d = spark.table("documents").select("doc_id", "text")
@@ -77,6 +77,68 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = d.unionByName(pert)
     return simhash_near_dups(aug, hamming_max=6)
+
+
+# The oracle recomputes the full SimHash pipeline in DuckDB: md5 per distinct
+# token -> top-8-bytes-as-uint64 (hex-digit shift/sum — no precision-losing
+# `**`), per-document ±1 bit-majority over token occurrences, 4x16-bit band
+# candidate join, exact bit_count(xor) hamming verify.  Everything the engine
+# does (operators/simhash.py) except the Arrow batching, so a defect anywhere
+# in tokenize -> hash -> vote -> band -> verify flips the value hash.
+ORACLE_SIMHASH = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+aug AS (
+  SELECT doc_id, toks FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, toks[2:] FROM base
+),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM aug),
+vh AS (
+  -- uint64 of md5's top 8 bytes, via hex digits; DuckDB's << overflow-checks
+  -- at bit 63, so accumulate digit * 16^(16-p) in HUGEINT (16^k split into
+  -- two sub-2^32 shifts) and cast the exact sum down to UBIGINT.
+  SELECT t,
+         CAST(CAST(SUM(
+           CAST(strpos('0123456789abcdef', substr(md5(t), p, 1)) - 1 AS HUGEINT)
+           * CASE WHEN 4 * (16 - p) < 32
+                  THEN CAST(CAST(1 AS BIGINT) << (4 * (16 - p)) AS HUGEINT)
+                  ELSE CAST(CAST(1 AS BIGINT) << (4 * (16 - p) - 32) AS HUGEINT) * 4294967296
+             END) AS HUGEINT) AS UBIGINT) AS h
+  FROM (SELECT DISTINCT t FROM tok), (SELECT unnest(range(1, 17)) AS p)
+  GROUP BY t
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> CAST(b AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM tok JOIN vh USING (t), (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(CASE WHEN acc > 0 THEN
+             CASE WHEN b < 32 THEN CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT)
+                  ELSE CAST(CAST(1 AS BIGINT) << CAST(b - 32 AS INT) AS HUGEINT) * 4294967296
+             END ELSE 0 END) AS HUGEINT) AS UBIGINT) AS usig
+  FROM bits GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, usig, band,
+         CAST((usig >> CAST(band * 16 AS UBIGINT)) & 65535 AS INT) AS band_val
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.usig AS ua, b.usig AS ub
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ua, ub)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(ua, ub)) <= 6
+"""
 
 
 # --- multimodal_features (GATED: structural header decode round trip) ----------
@@ -109,12 +171,34 @@ FROM ids WHERE i % 3 <> 2
 """
 
 
-# rows-only companion: pseudo-embedding feature extraction plumbing
+# companion gate: feature-extraction plumbing over ALL media kinds.  The
+# pseudo-embedding column (sha256-derived) is dropped; what the oracle checks
+# closed-form is the exact assembled container SIZE per format — PNG
+# 8(sig)+25(IHDR)+20+w%16(IDAT)+12(IEND), JPEG 54 fixed (SOI+APP0+COM+SOF0+
+# EOI), WAV 44+2*n_samples (RIFF+fmt+data), video 32*(1+i%4) — plus the
+# min(dim,128) thumbnail metadata, so any drift in the byte builders or the
+# Arrow plumbing flips the hash.
 def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 2000 if "0.1" in sf_dir else 500
     return extract_media_features(synth_media(spark, n)).select(
         "media_id", "kind", "n_bytes", "thumb_w", "thumb_h"
     )
+
+
+ORACLE_MM_EMBED = """
+WITH ids AS (SELECT unnest(range(0, 500)) AS i)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE WHEN i % 3 = 0 THEN 'image'
+            WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(CASE WHEN i % 3 = 0 THEN
+                   (CASE WHEN i % 2 = 0 THEN 65 + (64 + (i * 7) % 512) % 16
+                         ELSE 54 END)
+                 WHEN i % 3 = 1 THEN 44 + 2 * (100 + i % 50)
+                 ELSE 32 * (1 + i % 4) END AS BIGINT) AS n_bytes,
+       CAST(LEAST(64 + (i * 7) % 512, 128) AS INT) AS thumb_w,
+       CAST(LEAST(64 + (i * 11) % 512, 128) AS INT) AS thumb_h
+FROM ids
+"""
 
 
 QUERIES = {
@@ -126,5 +210,7 @@ QUERIES = {
 
 ORACLES = {
     "check_role_gating": ORACLE_ROLE_GATING,
+    "dedup_simhash": ORACLE_SIMHASH,
     "multimodal_features": ORACLE_MULTIMODAL,
+    "multimodal_embed": ORACLE_MM_EMBED,
 }
