@@ -147,7 +147,11 @@ def q_pseudo_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.intersections import segment_intersections, segments_of_vertices
 
     register_geo_views(spark, sf_dir)
-    x = segment_intersections(segments_of_vertices(spark.table("geo_vlines")), cell_deg=0.01)
+    from .vgeomq import SEGCELL
+
+    x = segment_intersections(
+        segments_of_vertices(spark.table("geo_vlines")), cell_deg=SEGCELL
+    )
     both = x.select(F.col("id_a").alias("line_id")).unionAll(
         x.select(F.col("id_b").alias("line_id"))
     )

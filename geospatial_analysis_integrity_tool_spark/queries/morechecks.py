@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.geodesy import sql_coslat_poly, sql_dist_m, sql_trunc3_mm
 from ..operators.intersections import segment_intersections, segments_of_vertices
 from ..sources.synthetic import GEO_VIEWS, oracle_cte, register_geo_views
-from .vgeomq import CELL, ORACLE_LLINT_V
+from .vgeomq import CELL, SEGCELL, ORACLE_LLINT_V
 
 NODE_TOL_M = 33.0          # crossing counts as "at a node" within 33 m
                            # (GAIT local-frame meters, TT.c:4252-4264)
@@ -71,7 +71,7 @@ FROM llint GROUP BY 1, 2 HAVING COUNT(*) > 1
 def q_cross_away_from_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
     v = spark.table("geo_vlines")
-    x = segment_intersections(segments_of_vertices(v), cell_deg=CELL)
+    x = segment_intersections(segments_of_vertices(v), cell_deg=SEGCELL)
     nv = v.groupBy("line_id").agg(F.count("*").alias("_n"))
     ends = (
         v.join(nv, "line_id")

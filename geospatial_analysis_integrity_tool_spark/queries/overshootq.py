@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.intersections import segment_intersections, segments_of_vertices
 from ..sources.synthetic import GEO_VIEWS, oracle_cte, register_geo_views
-from .vgeomq import CELL, ORACLE_LLINT_V
+from .vgeomq import CELL, SEGCELL, ORACLE_LLINT_V
 
 OVERSHOOT_UDEG = 500  # ~55 m Manhattan in integer micro-degrees
 
@@ -29,7 +29,7 @@ OVERSHOOT_UDEG = 500  # ~55 m Manhattan in integer micro-degrees
 def q_overshoot(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
     v = spark.table("geo_vlines")
-    x = segment_intersections(segments_of_vertices(v), cell_deg=CELL)
+    x = segment_intersections(segments_of_vertices(v), cell_deg=SEGCELL)
 
     nv = v.groupBy("line_id").agg(F.count("*").alias("_n"))
     ends = (

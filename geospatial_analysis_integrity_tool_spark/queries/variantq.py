@@ -107,7 +107,7 @@ def _xings(spark: SparkSession) -> DataFrame:
         "line_id", "seg_which AS seg_idx", "ax AS sax", "ay AS say",
         "bx AS sbx", "by AS sby",
     )
-    x = segment_intersections(segs, cell_deg=0.01)
+    x = segment_intersections(segs, cell_deg=0.005)
     sa = _line_segs(lines).selectExpr(
         "line_id AS id_a", "seg_which AS seg_a",
         "ax AS _ax", "ay AS _ay", "bx AS _bx", "by AS _by",
@@ -814,11 +814,11 @@ ORACLES = {k: _matz(v) for k, v in ORACLES.items()}
 
 def q_loc_multint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.intersections import segments_of_vertices
-    from .vgeomq import CELL
+    from .vgeomq import SEGCELL
 
     register_geo_views(spark, sf_dir)
     x = segment_intersections(
-        segments_of_vertices(spark.table("geo_vlines")), cell_deg=CELL
+        segments_of_vertices(spark.table("geo_vlines")), cell_deg=SEGCELL
     )
     return (
         x.filter(F.expr("id_a % 5 = id_b % 5"))

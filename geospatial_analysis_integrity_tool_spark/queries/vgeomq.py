@@ -44,6 +44,17 @@ from ..sources.synthetic import oracle_cte, register_geo_views
 
 CELL = 0.01
 
+#: Finer grid for geometry x geometry cell joins (segment x segment, segment x
+#: ring-edge).  The variable-vertex fixtures' segments/edges average ~0.0012
+#: degrees, so at CELL=0.01 each cell packs ~8x more geometry per axis than
+#: needed and the cell equi-join emits ~5x more candidate pairs than at 0.005
+#: (measured sf0.1: LAINT 42.4M -> 15.6M pairs, LLINT wall 13.5 -> 7.8 s;
+#: explode volume only grows 1.25 -> 1.4 cells/segment).  Candidate grids
+#: never change results (exact predicate + DISTINCT after), so the oracle
+#: just mirrors the same constant.  Point-probe and whole-area-bbox covers
+#: keep the coarser CELL: an area bbox cover is quadratic in 1/cell.
+SEGCELL = 0.005
+
 # --- shared predicate texts ----------------------------------------------------
 
 #: eastward ray-cast crossing test for one edge vs one probe point; the CASE
@@ -105,17 +116,17 @@ edges AS (
 """
 
 
-def _cells(src: str, out: str) -> str:
+def _cells(src: str, out: str, cell: float = CELL) -> str:
     """DuckDB: explode bbox cell cover of CTE `src` (mnx..mxy) into `out`."""
     return f"""
 {out}_x AS (
-  SELECT s.*, unnest(generate_series(CAST(floor(mnx / {CELL}) AS BIGINT),
-                                     CAST(floor(mxx / {CELL}) AS BIGINT))) AS cellx
+  SELECT s.*, unnest(generate_series(CAST(floor(mnx / {cell}) AS BIGINT),
+                                     CAST(floor(mxx / {cell}) AS BIGINT))) AS cellx
   FROM {src} s
 ),
 {out} AS (
-  SELECT c.*, unnest(generate_series(CAST(floor(mny / {CELL}) AS BIGINT),
-                                     CAST(floor(mxy / {CELL}) AS BIGINT))) AS celly
+  SELECT c.*, unnest(generate_series(CAST(floor(mny / {cell}) AS BIGINT),
+                                     CAST(floor(mxy / {cell}) AS BIGINT))) AS celly
   FROM {out}_x c
 )
 """
@@ -127,7 +138,7 @@ def _cells(src: str, out: str) -> str:
 def q_line_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
     segs = segments_of_vertices(spark.table("geo_vlines"))
-    return segment_intersections(segs, cell_deg=CELL)
+    return segment_intersections(segs, cell_deg=SEGCELL)
 
 
 _IX, _IY = sql_intersection_xy()
@@ -135,7 +146,7 @@ _IX, _IY = sql_intersection_xy()
 ORACLE_LLINT_V = f"""
 {oracle_cte('geo_vlines')},
 {_SEGS_CTE.strip()},
-{_cells('segs', 'segc').strip()},
+{_cells('segs', 'segc', SEGCELL).strip()},
 pairs AS (
   SELECT a.line_id AS id_a, b.line_id AS id_b,
          a.seg_idx AS seg_a, b.seg_idx AS seg_b,
@@ -267,9 +278,9 @@ def q_line_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _area_edges(spark)
     ecells = explode_bbox_cells(
         _with_bbox(edges, ("ex1", "ex2"), ("ey1", "ey2")),
-        "_minx", "_maxx", "_miny", "_maxy", CELL,
+        "_minx", "_maxx", "_miny", "_maxy", SEGCELL,
     ).select("cell", "area_id", "ex1", "ey1", "ex2", "ey2")
-    scells = explode_bbox_cells(segs, "_minx", "_maxx", "_miny", "_maxy", CELL).select(
+    scells = explode_bbox_cells(segs, "_minx", "_maxx", "_miny", "_maxy", SEGCELL).select(
         "cell", "line_id",
         F.col("sax").alias("_ax"), F.col("say").alias("_ay"),
         F.col("sbx").alias("_bx"), F.col("sby").alias("_by"),
@@ -313,8 +324,8 @@ ORACLE_LINE_AREA_V = f"""
 {oracle_cte('geo_vlines', 'geo_vareas')},
 {_SEGS_CTE.strip()},
 {_EDGES_CTE.strip()},
-{_cells('segs', 'segc').strip()},
-{_cells('edges', 'edgec').strip()},
+{_cells('segs', 'segc', SEGCELL).strip()},
+{_cells('edges', 'edgec', SEGCELL).strip()},
 laint AS (
   SELECT DISTINCT s.line_id, e.area_id
   FROM segc s JOIN edgec e
@@ -390,7 +401,7 @@ def q_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _area_edges(spark, view="geo_vareas_ov")
     ec = explode_bbox_cells(
         _with_bbox(edges, ("ex1", "ex2"), ("ey1", "ey2")),
-        "_minx", "_maxx", "_miny", "_maxy", CELL,
+        "_minx", "_maxx", "_miny", "_maxy", SEGCELL,
     )
     a = ec.select(
         "cell", F.col("area_id").alias("id_a"),
@@ -428,7 +439,7 @@ ORACLE_AREA_OVERLAP_V = f"""
 {oracle_cte('geo_vareas')},
 geo_vareas_ov AS MATERIALIZED ({_AREAS_OV_SQL}),
 {_EDGES_CTE.strip().replace("geo_vareas", "geo_vareas_ov")},
-{_cells('edges', 'edgec').strip()},
+{_cells('edges', 'edgec', SEGCELL).strip()},
 crossed AS (
   SELECT DISTINCT a.area_id AS id_a, b.area_id AS id_b
   FROM edgec a JOIN edgec b
