@@ -348,10 +348,132 @@ FROM shingles GROUP BY 1
 """
 
 
+# --- dedup_cluster_resolve: pairs -> components -> canonical survivor ---------
+#
+# Every dedup stage above emits PAIRS; a training-data pipeline must then
+# resolve pairs into clusters and pick ONE survivor per cluster (the step
+# CCNet/RefinedWeb call "dedup resolution").  Edges are the union of exact
+# duplicates (each doc -> its md5-group min) and strong near-duplicates
+# (min-hash signatures agreeing on ALL bands), and components run through the
+# same pointer-doubling min-label CC the network checks use
+# (operators/networks.min_label_components) — one distributed kernel for
+# graphs over line endpoints, raster wavefronts, and duplicate clusters alike.
+# Survivor = min doc_id in the component (deterministic, engine-independent).
+def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.networks import min_label_components
+
+    register_testdata_views(spark, sf_dir)
+    aug = _docs_aug(spark)
+    hashed = aug.select("doc_id", F.md5("text").alias("h"))
+    gmin = hashed.groupBy("h").agg(F.min("doc_id").alias("mn"))
+    exact = (
+        hashed.join(gmin, "h")
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select(F.col("doc_id").alias("a"), F.col("mn").alias("b"))
+    )
+    near = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter(F.col("n_shared_bands") == N_BANDS)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    und = exact.unionByName(near)
+    edges = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    ids = edges.select(F.col("a").alias("id")).distinct()
+    comp = min_label_components(ids, edges).select(
+        F.col("id").alias("doc_id"), F.col("component_id").alias("canonical_id")
+    )
+    size = comp.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(size, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        F.expr("CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT)")
+        .alias("keep"),
+    )
+
+
+# DuckDB twin: transitive closure via a recursive CTE (clusters here are tiny
+# chains, so closure is exact and cheap at oracle scale).
+ORACLE_DEDUP_CLUSTER = f"""
+WITH RECURSIVE {_DOCS_AUG_SQL.strip()},
+shingles AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_DUCK})),
+sig AS (
+  SELECT doc_id, band, MIN(md5(CAST(band AS STRING) || '|' || shingle)) AS minhash
+  FROM shingles, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band)
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) = {N_BANDS}
+),
+gmin AS (SELECT md5(text) AS h, MIN(doc_id) AS mn FROM docs_aug GROUP BY 1),
+exact AS (
+  SELECT d.doc_id AS a, g.mn AS b
+  FROM docs_aug d JOIN gmin g ON md5(d.text) = g.h
+  WHERE d.doc_id <> g.mn
+),
+und AS (SELECT a, b FROM exact UNION SELECT a, b FROM near),
+edges AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+reach (id, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (
+  SELECT id AS doc_id, LEAST(id, MIN(r)) AS canonical_id FROM reach GROUP BY id
+),
+csize AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT c.doc_id, c.canonical_id, s.cluster_size,
+       CAST(CASE WHEN c.doc_id = c.canonical_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM comp c JOIN csize s USING (canonical_id)
+"""
+
+
+# --- docs_sample_stratified: deterministic per-language rate sampling ---------
+#
+# Pipeline sampling must be reproducible across runs, engines, and cluster
+# sizes, so the keep decision is a pure function of the row key: Knuth
+# multiplicative hash (doc_id * 2654435761 mod 2^32) bucketed mod 100 and
+# compared to a per-language rate.  No RNG state, no sort order dependence —
+# the same rows are kept at any parallelism (north-rule determinism).
+SAMPLE_RATES = {"en": 50, "fr": 30, "de": 20, "es": 10}
+
+_BUCKET = "CAST((doc_id * 2654435761) % 4294967296 % 100 AS BIGINT)"
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    + " ELSE 0 END"
+)
+
+
+def q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .select("doc_id", "lang", F.expr(_BUCKET).alias("bucket"))
+        .filter(F.expr(f"{_BUCKET} < {_RATE_CASE}"))
+    )
+
+
+ORACLE_DOCS_SAMPLE = f"""
+SELECT doc_id, lang, {_BUCKET} AS bucket
+FROM documents
+WHERE {_BUCKET} < {_RATE_CASE}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_cluster_resolve": q_dedup_cluster_resolve,
+    "docs_sample_stratified": q_docs_sample_stratified,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -361,6 +483,8 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_cluster_resolve": ORACLE_DEDUP_CLUSTER,
+    "docs_sample_stratified": ORACLE_DOCS_SAMPLE,
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
