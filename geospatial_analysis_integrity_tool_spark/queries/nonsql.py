@@ -103,14 +103,53 @@ FROM lines GROUP BY i
 """
 
 
+def q_pages_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup over the batched extractor output.
+
+    The web-pipeline "how much text per language" report: language comes from
+    the url path (the synthetic corpus encodes it there, mirroring CC-style
+    path conventions), volume from the extracted text.  Runs as one
+    mapInPandas extract + a tiny groupBy — the aggregation is on the reduced
+    (url, length) projection, so at 10^12 pages the shuffle carries one small
+    row per page, not the text."""
+    txt = extract_text(synth_pages(spark, _n_pages(sf_dir)))
+    return (
+        txt.select(
+            F.expr("split_part(url, '/', 4)").alias("lang"),
+            F.expr("CAST(length(extracted) AS BIGINT)").alias("_len"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("_len").alias("total_chars"),
+            F.min("_len").alias("min_chars"),
+            F.max("_len").alias("max_chars"),
+        )
+    )
+
+
+def _oracle_pages_lang_stats(n: int) -> str:
+    return f"""
+WITH txt AS ({_oracle_pages_text(n)})
+SELECT split_part(url, '/', 4) AS lang,
+       COUNT(*) AS n_pages,
+       CAST(SUM(length(extracted)) AS BIGINT) AS total_chars,
+       CAST(MIN(length(extracted)) AS BIGINT) AS min_chars,
+       CAST(MAX(length(extracted)) AS BIGINT) AS max_chars
+FROM txt GROUP BY 1
+"""
+
+
 QUERIES = {
     "geo_encode_cells": q_encode_cells,
     "pages_extract_features": q_pages_extract,
     "pages_extract_text": q_pages_extract_text,
+    "pages_lang_stats": q_pages_lang_stats,
 }
 
 # the correctness gate runs at sf0.01 -> n = 500 (matches _n_pages)
 ORACLES: dict[str, str] = {
     "pages_extract_features": _oracle_pages_features(500),
     "pages_extract_text": _oracle_pages_text(500),
+    "pages_lang_stats": _oracle_pages_lang_stats(500),
 }

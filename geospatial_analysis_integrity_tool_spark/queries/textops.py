@@ -435,6 +435,43 @@ FROM comp c JOIN csize s USING (canonical_id)
 """
 
 
+# --- token_profile: whitespace + BPE-ish regex token counting -----------------
+#
+# Subword tokenizers (BPE/WordPiece) pre-split on a regex before merging;
+# this op counts tokens under that pre-split (letter runs, 1-3 digit groups,
+# single punctuation marks — the GPT-2-style pre-tokenizer shape) next to the
+# whitespace count, plus integer chars-per-token density.  The pattern uses
+# only constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded quantifiers, leftmost-first
+# alternation.
+_BPE_PAT = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]"
+
+
+def q_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id",
+        F.expr("CAST(size(split(text, '\\\\s+')) AS BIGINT)").alias("n_ws_tokens"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(text, '{_BPE_PAT}', 0)) AS BIGINT)"
+        ).alias("n_bpe_tokens"),
+        F.expr(
+            f"length(text) * 1000 DIV GREATEST(CAST(size(regexp_extract_all("
+            f"text, '{_BPE_PAT}', 0)) AS BIGINT), 1)"
+        ).alias("chars_per_token_milli"),
+    )
+
+
+ORACLE_TOKEN_PROFILE = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}', 0)) AS BIGINT) AS n_bpe_tokens,
+       CAST((length(text) * 1000) // GREATEST(CAST(len(regexp_extract_all(
+            text, '{_BPE_PAT}', 0)) AS BIGINT), 1) AS BIGINT) AS chars_per_token_milli
+FROM documents
+"""
+
+
 # --- docs_sample_stratified: deterministic per-language rate sampling ---------
 #
 # Pipeline sampling must be reproducible across runs, engines, and cluster
@@ -474,6 +511,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_cluster_resolve": q_dedup_cluster_resolve,
     "docs_sample_stratified": q_docs_sample_stratified,
+    "token_profile": q_token_profile,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -485,6 +523,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_cluster_resolve": ORACLE_DEDUP_CLUSTER,
     "docs_sample_stratified": ORACLE_DOCS_SAMPLE,
+    "token_profile": ORACLE_TOKEN_PROFILE,
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
