@@ -55,6 +55,16 @@ CELL = 0.01
 #: keep the coarser CELL: an area bbox cover is quadratic in 1/cell.
 SEGCELL = 0.005
 
+#: Segment x ring-edge and edge x edge joins pack even denser (every 6th
+#: area contributes a hole ring), and their predicate work per candidate is
+#: cheaper than the seg x seg orientation battery, so the candidate-volume /
+#: explode-volume trade tips one step finer.  A/B at sf0.1 (interleaved,
+#: same session): LAINT 11.2 -> 6.9 s, AOVERLAPA 4.5 -> 4.0 s at 0.0025,
+#: while LLINT is best left at 0.005 (7.7 vs 8.4 s).  Grids never change
+#: results (exact predicate + DISTINCT after); the oracle mirrors the
+#: constant.
+EDGECELL = 0.0025
+
 # --- shared predicate texts ----------------------------------------------------
 
 #: eastward ray-cast crossing test for one edge vs one probe point; the CASE
@@ -278,9 +288,9 @@ def q_line_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _area_edges(spark)
     ecells = explode_bbox_cells(
         _with_bbox(edges, ("ex1", "ex2"), ("ey1", "ey2")),
-        "_minx", "_maxx", "_miny", "_maxy", SEGCELL,
+        "_minx", "_maxx", "_miny", "_maxy", EDGECELL,
     ).select("cell", "area_id", "ex1", "ey1", "ex2", "ey2")
-    scells = explode_bbox_cells(segs, "_minx", "_maxx", "_miny", "_maxy", SEGCELL).select(
+    scells = explode_bbox_cells(segs, "_minx", "_maxx", "_miny", "_maxy", EDGECELL).select(
         "cell", "line_id",
         F.col("sax").alias("_ax"), F.col("say").alias("_ay"),
         F.col("sbx").alias("_bx"), F.col("sby").alias("_by"),
@@ -324,8 +334,8 @@ ORACLE_LINE_AREA_V = f"""
 {oracle_cte('geo_vlines', 'geo_vareas')},
 {_SEGS_CTE.strip()},
 {_EDGES_CTE.strip()},
-{_cells('segs', 'segc', SEGCELL).strip()},
-{_cells('edges', 'edgec', SEGCELL).strip()},
+{_cells('segs', 'segc', EDGECELL).strip()},
+{_cells('edges', 'edgec', EDGECELL).strip()},
 laint AS (
   SELECT DISTINCT s.line_id, e.area_id
   FROM segc s JOIN edgec e
@@ -401,7 +411,7 @@ def q_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _area_edges(spark, view="geo_vareas_ov")
     ec = explode_bbox_cells(
         _with_bbox(edges, ("ex1", "ex2"), ("ey1", "ey2")),
-        "_minx", "_maxx", "_miny", "_maxy", SEGCELL,
+        "_minx", "_maxx", "_miny", "_maxy", EDGECELL,
     )
     a = ec.select(
         "cell", F.col("area_id").alias("id_a"),
@@ -439,7 +449,7 @@ ORACLE_AREA_OVERLAP_V = f"""
 {oracle_cte('geo_vareas')},
 geo_vareas_ov AS MATERIALIZED ({_AREAS_OV_SQL}),
 {_EDGES_CTE.strip().replace("geo_vareas", "geo_vareas_ov")},
-{_cells('edges', 'edgec', SEGCELL).strip()},
+{_cells('edges', 'edgec', EDGECELL).strip()},
 crossed AS (
   SELECT DISTINCT a.area_id AS id_a, b.area_id AS id_b
   FROM edgec a JOIN edgec b
