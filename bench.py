@@ -100,6 +100,10 @@ def main() -> None:
         c = spark.table(t).count()
         if t in ("customer", "supplier", "orders"):
             n_features += c
+    # warm the Arrow/Python worker pool too (spark.python.worker.reuse is on,
+    # so one trivial mapInPandas per core spawns the daemons every pandas-UDF
+    # query after this reuses) — same spirit as the JVM/codegen warm-up
+    spark.range(0, 1024, 1, 64).mapInPandas(lambda it: it, schema="id long").count()
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
