@@ -60,6 +60,11 @@ HEADLINE = [
     "geo_tear_checks",
     "raster_kernel_stats",
     "geo_lspint",
+    # round-3 training-data pipeline additions
+    "dedup_cluster_resolve",
+    "docs_sample_stratified",
+    "token_profile",
+    "pages_lang_stats",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

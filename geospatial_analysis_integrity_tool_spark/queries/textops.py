@@ -377,9 +377,14 @@ def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
     und = exact.unionByName(near)
-    edges = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # materialize the pair graph ONCE: edges feed ids, the CC loop's own
+    # checkpoint, and every propagation round — without this the minhash
+    # subtree runs twice (once for edges, once for ids)
+    edges = (
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ids = edges.select(F.col("a").alias("id")).distinct()
     comp = min_label_components(ids, edges).select(
         F.col("id").alias("doc_id"), F.col("component_id").alias("canonical_id")
