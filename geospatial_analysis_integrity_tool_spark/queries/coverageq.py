@@ -121,29 +121,34 @@ def _lines_narrow(spark: SparkSession) -> DataFrame:
 
 
 def _line_ends(lines: DataFrame) -> DataFrame:
-    """(pid = line_id*2 + end_which, line_id, end_which, px, py)."""
-    e0 = lines.selectExpr(
-        "line_id * 2 AS pid", "line_id", "0 AS end_which",
-        "x1 AS px", "y1 AS py",
+    """(pid = line_id*2 + end_which, line_id, end_which, px, py).
+
+    ONE inline() Generate over a single scan, NOT a two-leg Union: Catalyst
+    pushes LeftAnti/LeftSemi joins below Union (PushdownLeftSemiAntiJoin),
+    and every coverage check anti-joins ends against a covered set derived
+    from an expensive candidate join — with the Union shape that entire
+    subtree was cloned into BOTH legs (EXPLAIN.md geo_lenocoverl showed the
+    candidate join + aggregate twice).  A single Generate leg cannot be
+    split, so the covered set is computed once.
+    """
+    return lines.selectExpr(
+        "line_id",
+        "inline(array(named_struct('end_which', 0, 'px', x1, 'py', y1),"
+        " named_struct('end_which', 1, 'px', x3, 'py', y3)))",
+    ).selectExpr(
+        "line_id * 2 + end_which AS pid", "line_id", "end_which", "px", "py"
     )
-    e1 = lines.selectExpr(
-        "line_id * 2 + 1 AS pid", "line_id", "1 AS end_which",
-        "x3 AS px", "y3 AS py",
-    )
-    return e0.unionByName(e1)
 
 
 def _line_segs(lines: DataFrame) -> DataFrame:
-    """(line_id, seg_which 1|2, ax, ay, bx, by)."""
-    s1 = lines.selectExpr(
-        "line_id", "1 AS seg_which",
-        "x1 AS ax", "y1 AS ay", "x2 AS bx", "y2 AS by",
-    )
-    s2 = lines.selectExpr(
-        "line_id", "2 AS seg_which",
-        "x2 AS ax", "y2 AS ay", "x3 AS bx", "y3 AS by",
-    )
-    return s1.unionByName(s2)
+    """(line_id, seg_which 1|2, ax, ay, bx, by) — single-scan inline()
+    Generate for the same anti-join-pushdown reason as _line_ends."""
+    return lines.selectExpr(
+        "line_id",
+        "inline(array("
+        "named_struct('seg_which', 1, 'ax', x1, 'ay', y1, 'bx', x2, 'by', y2),"
+        " named_struct('seg_which', 2, 'ax', x2, 'ay', y2, 'bx', x3, 'by', y3)))",
+    ).select("line_id", "seg_which", "ax", "ay", "bx", "by")
 
 
 _ORACLE_ENDS = """
@@ -228,15 +233,20 @@ def q_lenocoverl(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsegs = (
         _line_segs(lines)
         .groupBy("ax", "ay", "bx", "by")
+        # min/max owner in ONE aggregate pass: "covered by another line" is
+        # _owner1 <> _ownerN (>= 2 distinct owners) or the single owner is
+        # not the end's own line.  countDistinct here forced Spark's
+        # two-round expand aggregate — double the shuffle for a bit we can
+        # read off min<>max.
         .agg(
             F.min("line_id").alias("_owner1"),
-            F.countDistinct("line_id").alias("_nown"),
+            F.max("line_id").alias("_ownerN"),
         )
         .selectExpr(
             # deterministic geometry key (monotonically_increasing_id would
             # be re-evaluated differently on each reference of this frame)
             "xxhash64(ax, ay, bx, by) AS tgt_id",
-            "ax", "ay", "bx", "by", "_owner1", "_nown",
+            "ax", "ay", "bx", "by", "_owner1", "_ownerN",
         )
     )
     cand = point_seg_candidates(
@@ -245,10 +255,10 @@ def q_lenocoverl(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol_m=LCOVER_TOL_M,
         cell_deg=_CELL_150M,
         open_interval=False,
-        keep_seg_cols=("_owner1", "_nown"),
+        keep_seg_cols=("_owner1", "_ownerN"),
     )
     covered = (
-        cand.filter(F.expr("_nown >= 2 OR _owner1 <> src_id DIV 2"))
+        cand.filter(F.expr("_ownerN <> _owner1 OR _owner1 <> src_id DIV 2"))
         .select(F.col("src_id").alias("pid"))
         .distinct()
     )
