@@ -65,6 +65,9 @@ HEADLINE = [
     "docs_sample_stratified",
     "token_profile",
     "pages_lang_stats",
+    "text_repetition_filters",
+    "docs_decontaminate",
+    "text_pii_scrub",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

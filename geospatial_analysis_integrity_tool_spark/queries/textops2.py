@@ -1,0 +1,261 @@
+"""Training-data pipeline ops, part 2: repetition quality rules, benchmark
+decontamination, and PII detect/redact over the `documents` table.
+
+These are the standard web-corpus curation stages published for large LM
+training sets (repetition rules per Rae et al. 2021 "Scaling Language Models"
+App. A; n-gram decontamination per Brown et al. 2020 §4 / Touvron et al. 2023;
+PII redaction per standard CC pipelines).  Like the rest of the engine they
+are declarative DataFrame plans with integer-exact outputs so the DuckDB
+oracle hashes bit-identically:
+
+* fractions are never materialized — thresholds compare integer
+  cross-products (``top_n * 20 > n * 3`` instead of ``top_n / n > 0.15``);
+* token/shingle arithmetic uses the same split semantics as textops.py.
+
+Scale notes (100 TB corpus):
+
+* repetition rules are two explode -> groupBy passes per document — all
+  map-side-combinable, shuffle volume bounded by distinct (doc, token);
+* decontamination broadcasts the BENCHMARK shingle set (fixed size,
+  independent of corpus scale) and semi-joins the corpus map-side — the
+  corpus is never shuffled; a benchmark too large to broadcast falls back
+  to a shingle-hash bucket join (same plan as dedup_ngram_jaccard);
+* PII scan/redact is pure per-row JVM regex (whole-stage codegen), no
+  Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.synthetic import register_testdata_views
+from .textops import _DOCS_AUG_SQL, _docs_aug
+
+# --- text_repetition_filters (Gopher-style repetition rules) ------------------
+#
+# R1 TOPWORD : most frequent token > 15% of all tokens (top_n * 20 > n * 3)
+# R2 DUP2GRAM: duplicate 2-gram occurrences > 5% of 2-grams (dup * 20 > n)
+# Thresholds sit at ~p90 of the synthetic corpus so the flag is a real split,
+# not all-or-nothing.
+
+_TOKS = "split(text, '\\\\s+')"
+_BIGRAMS = (
+    "CASE WHEN size(toks) >= 2 THEN "
+    "transform(sequence(1, size(toks) - 1), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+    "ELSE array() END"
+)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("tok")
+    )
+    wstats = (
+        toks.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_words"),
+            F.max("count").alias("top_word_n"),
+        )
+    )
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(_BIGRAMS.replace("toks", f"({_TOKS})"))
+        ).alias("bg"),
+    )
+    bstats = (
+        bi.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_2g"),
+            (F.sum("count") - F.count("*")).alias("dup_2g_n"),
+        )
+    )
+    j = wstats.join(bstats, "doc_id")
+    r1 = j.filter(F.expr("top_word_n * 20 > n_words * 3")).selectExpr(
+        "doc_id", "'TOPWORD' AS errtype", "top_word_n AS metric_n",
+        "n_words AS metric_total",
+    )
+    r2 = j.filter(F.expr("dup_2g_n * 20 > n_2g")).selectExpr(
+        "doc_id", "'DUP2GRAM' AS errtype", "dup_2g_n AS metric_n",
+        "n_2g AS metric_total",
+    )
+    return r1.unionByName(r2)
+
+
+ORACLE_TEXT_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+  FROM documents
+),
+wstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(MAX(c) AS BIGINT) AS top_word_n
+  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+  GROUP BY 1
+),
+t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM t, LATERAL (SELECT unnest(CASE WHEN len(t) >= 2
+                                      THEN range(1, len(t))
+                                      ELSE [] END) AS i)
+),
+bstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2g,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_2g_n
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT doc_id, 'TOPWORD' AS errtype, top_word_n AS metric_n,
+       n_words AS metric_total
+FROM wstats JOIN bstats USING (doc_id)
+WHERE top_word_n * 20 > n_words * 3
+UNION ALL
+SELECT doc_id, 'DUP2GRAM', dup_2g_n, n_2g
+FROM wstats JOIN bstats USING (doc_id)
+WHERE dup_2g_n * 20 > n_2g
+"""
+
+
+# --- docs_decontaminate (benchmark 8-gram overlap) -----------------------------
+#
+# Benchmark = raw documents with doc_id % 13 == 3 (a stand-in for an eval
+# set); corpus = docs_aug minus the benchmark rows themselves.  A corpus
+# document is contaminated if it shares >= 1 word-8-gram with any benchmark
+# document — the augmented near-duplicates (+1000000) and exact copies
+# (+2000000) of benchmark docs are exactly what the check must catch.
+
+DECON_N = 8
+_BENCH_MOD, _BENCH_REM = 13, 3
+
+_NGRAMS_SPARK = (
+    f"CASE WHEN size(toks) >= {DECON_N} THEN "
+    f"transform(sequence(1, size(toks) - {DECON_N - 1}), "
+    "i -> concat_ws(' ', slice(toks, i, " + str(DECON_N) + "))) "
+    "ELSE array() END"
+)
+
+
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    aug = _docs_aug(spark)
+    bench_sh = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % _BENCH_MOD == _BENCH_REM)
+        .select(F.expr(_TOKS).alias("toks"))
+        .select(F.explode(F.expr(_NGRAMS_SPARK)).alias("shingle"))
+        .distinct()
+    )
+    corp_sh = (
+        aug.filter(
+            ~((F.col("doc_id") < 1000000) & (F.col("doc_id") % _BENCH_MOD == _BENCH_REM))
+        )
+        .select("doc_id", F.expr(_TOKS).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_NGRAMS_SPARK)).alias("shingle"))
+        .distinct()
+    )
+    # benchmark shingle set is corpus-scale-independent: broadcast it and
+    # semi-join map-side, so the 100 TB corpus never shuffles
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_8grams"))
+    )
+
+
+ORACLE_DOCS_DECONTAMINATE = f"""
+WITH {_DOCS_AUG_SQL.strip()},
+bench_sh AS (
+  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+         AS shingle
+  FROM (SELECT regexp_split_to_array(text, '\\s+') AS t FROM documents
+        WHERE doc_id % {_BENCH_MOD} = {_BENCH_REM}),
+       LATERAL (SELECT unnest(CASE WHEN len(t) >= {DECON_N}
+                                   THEN range(1, len(t) - {DECON_N - 2})
+                                   ELSE [] END) AS i)
+),
+corp_sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+         AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM docs_aug
+        WHERE NOT (doc_id < 1000000 AND doc_id % {_BENCH_MOD} = {_BENCH_REM})),
+       LATERAL (SELECT unnest(CASE WHEN len(t) >= {DECON_N}
+                                   THEN range(1, len(t) - {DECON_N - 2})
+                                   ELSE [] END) AS i)
+)
+SELECT c.doc_id, COUNT(*) AS n_hit_8grams
+FROM corp_sh c JOIN bench_sh b USING (shingle)
+GROUP BY 1
+"""
+
+
+# --- text_pii_scrub (detect + redact planted contact strings) ------------------
+#
+# The synthetic corpus carries no PII, so both engines plant the SAME
+# deterministic contact strings on every doc with doc_id % 11 == 5, then the
+# check finds and redacts them.  The match/replace regexes use only literal
+# char classes so Java (Spark) and RE2 (DuckDB) agree byte-for-byte; the
+# redacted text is compared by md5.
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    planted = spark.table("documents").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 11 = 5 THEN concat(text, ' contact u', doc_id,"
+        " '@example.com or 555-', CAST(1000 + doc_id % 9000 AS STRING))"
+        " ELSE text END AS text",
+    )
+    return planted.selectExpr(
+        "doc_id",
+        f"CAST(regexp_count(text, '{_EMAIL_RE}') AS BIGINT) AS n_emails",
+        f"CAST(regexp_count(text, '{_PHONE_RE}') AS BIGINT) AS n_phones",
+        f"md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>'),"
+        f" '{_PHONE_RE}', '<PHONE>')) AS redacted_md5",
+    ).filter("n_emails + n_phones > 0")
+
+
+ORACLE_TEXT_PII_SCRUB = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 5 THEN text || ' contact u' || doc_id
+              || '@example.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM planted
+WHERE len(regexp_extract_all(text, '{_EMAIL_RE}'))
+    + len(regexp_extract_all(text, '{_PHONE_RE}')) > 0
+"""
+
+
+QUERIES = {
+    "text_repetition_filters": q_text_repetition,
+    "docs_decontaminate": q_docs_decontaminate,
+    "text_pii_scrub": q_text_pii_scrub,
+}
+
+ORACLES = {
+    "text_repetition_filters": ORACLE_TEXT_REPETITION,
+    "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
+    "text_pii_scrub": ORACLE_TEXT_PII_SCRUB,
+}
