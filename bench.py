@@ -68,6 +68,7 @@ HEADLINE = [
     "text_repetition_filters",
     "docs_decontaminate",
     "text_pii_scrub",
+    "streaming_windowed_counts",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -111,5 +111,150 @@ SELECT CAST(cond_key AS BIGINT) AS cond_key,
 FROM ranked WHERE rn = 1
 """
 
-QUERIES = {"streaming_first_seen": q_streaming_first_seen}
-ORACLES = {"streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN}
+# --- streaming_windowed_counts (watermark + tumbling event-time window) --------
+#
+# The mandate's late-data bullet: ``withWatermark`` + 60 s tumbling window
+# counts in APPEND mode over a replayed micro-batch stream.  The fixture
+# plants LATE rows (every 10th row carries an event time ~6 windows behind
+# its batch's frontier): in batches 0-2 the watermark hasn't passed their
+# window yet, so they MUST be counted; in batches 3-4 the same lag puts
+# their window end below the watermark, so they MUST be dropped.  Two
+# sentinel rows (key -1) advance the watermark past every data window and
+# trigger the final eviction batch — append mode emits a window exactly once,
+# when the watermark passes its end.
+#
+# Determinism: one parquet file per micro-batch with explicitly spaced
+# mtimes (the file source processes oldest-modification-time first), and
+# every frontier is chosen so no window end ever EQUALS a watermark (drop
+# and emit comparisons never sit on the boundary).  Drop semantics were
+# measured, not assumed: Spark filters batch b's input against the watermark
+# IN FORCE AT THE BATCH'S START — the value derived from batches <= b-2 —
+# while the end-of-batch eviction uses the batch's own updated value (so a
+# window is never emitted twice).  The oracle replays exactly that: a row in
+# batch b is dropped iff its window end <= max event time over batches
+# <= b-2, minus the delay.
+
+WIN_S = 60
+DELAY_S = 123
+N_BATCHES = 5
+N_PER_B = 80
+_EPOCH = 1704067200  # 2024-01-01T00:00:00Z, a multiple of WIN_S
+
+
+def _win_sec(i: int) -> tuple[int, int]:
+    """(batch, event-second) for fixture row i — shared closed form."""
+    b, j = divmod(i, N_PER_B)
+    if j % 10 == 0:
+        return b, max(0, b * 120 - 360) + (j % 37)
+    return b, b * 120 + j
+
+
+def write_windowed_fixture(dirpath: str | None = None) -> str:
+    import pandas as pd
+
+    from ..sources.fixtures import fixture_dir
+
+    if dirpath is None:
+        dirpath = fixture_dir("stream_win_v1")
+    if os.path.exists(os.path.join(dirpath, "_done")):
+        return dirpath
+    # tz-aware so parquet marks the column isAdjustedToUTC (Spark reads it as
+    # TIMESTAMP_LTZ, matching the declared stream schema; naive would be NTZ)
+    base = pd.Timestamp("2024-01-01", tz="UTC")
+    batches: list[pd.DataFrame] = []
+    for b in range(N_BATCHES):
+        rows = []
+        for i in range(b * N_PER_B, (b + 1) * N_PER_B):
+            _, sec = _win_sec(i)
+            rows.append({"key": i % 7, "ts": base + pd.Timedelta(seconds=sec)})
+        batches.append(pd.DataFrame(rows))
+    # sentinels: advance the watermark past the last data window (end 600 s;
+    # 780 - 123 = 657), then fire one more batch so eviction runs
+    batches.append(pd.DataFrame([{"key": -1, "ts": base + pd.Timedelta(seconds=780)}]))
+    batches.append(pd.DataFrame([{"key": -1, "ts": base + pd.Timedelta(seconds=900)}]))
+    t0 = 1_700_000_000
+    for b, df in enumerate(batches):
+        p = os.path.join(dirpath, f"w{b:03d}.parquet")
+        # micros, not pandas' nano default — Spark reads INT64(NANOS) as LONG
+        df.to_parquet(p, coerce_timestamps="us")
+        os.utime(p, (t0 + b * 10, t0 + b * 10))
+    open(os.path.join(dirpath, "_done"), "w").write("ok")
+    return dirpath
+
+
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = write_windowed_fixture()
+    for q in spark.streams.active:
+        if q.name == "windowed_replay_sink":
+            q.stop()
+    src = (
+        spark.readStream.schema("key long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        src.withWatermark("ts", f"{DELAY_S} seconds")
+        .groupBy(F.window("ts", f"{WIN_S} seconds"), "key")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_s"),
+            "key",
+            "n",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("windowed_replay_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination(300)
+    return spark.table("windowed_replay_sink").filter("key >= 0")
+
+
+ORACLE_STREAMING_WINDOWED = f"""
+WITH src AS (
+  SELECT i // {N_PER_B} AS b, i % 7 AS key,
+         CASE WHEN (i % {N_PER_B}) % 10 = 0
+              THEN GREATEST(0, (i // {N_PER_B}) * 120 - 360) + ((i % {N_PER_B}) % 37)
+              ELSE (i // {N_PER_B}) * 120 + (i % {N_PER_B}) END AS sec
+  FROM (SELECT unnest(range(0, {N_BATCHES * N_PER_B})) AS i)
+),
+frontier AS (SELECT b, MAX(sec) AS fmax FROM src GROUP BY 1),
+wm AS (
+  -- watermark in force at batch b's START: derived from batches <= b-2
+  -- (batch b-1's own frontier only takes effect at b-1's end, after b-1's
+  -- input was already filtered) — measured Spark 4 semantics, see above
+  SELECT b, COALESCE(MAX(fmax) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING), -1000000)
+         - {DELAY_S} AS watermark
+  FROM frontier
+),
+kept AS (
+  SELECT s.key, (s.sec // {WIN_S}) * {WIN_S} AS win
+  FROM src s JOIN wm USING (b)
+  WHERE (s.sec // {WIN_S}) * {WIN_S} + {WIN_S} > wm.watermark
+)
+SELECT CAST({_EPOCH} + win AS BIGINT) AS win_start_s,
+       CAST(key AS BIGINT) AS key, COUNT(*) AS n
+FROM kept
+WHERE win + {WIN_S} <= 780 - {DELAY_S}
+GROUP BY 1, 2
+"""
+
+QUERIES = {
+    "streaming_first_seen": q_streaming_first_seen,
+    "streaming_windowed_counts": q_streaming_windowed,
+}
+ORACLES = {
+    "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
+    "streaming_windowed_counts": ORACLE_STREAMING_WINDOWED,
+}
