@@ -235,17 +235,31 @@ def point_seg_candidates(
         )
     )
     ring = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    # Consecutive samples stride <= 1 cell per axis, so sample i's 3x3 ring
+    # overlaps sample i-1's in 4-6 of 9 cells.  Excluding cells already
+    # covered by the PREVIOUS sample's ring is pure codegen arithmetic
+    # (recompute the predecessor's cell indices from the same line equation)
+    # and replaces the dropDuplicates([seg_id, cell]) SHUFFLE that used to
+    # dedup the ~2.5x-duplicated explode (13.9M rows shuffled to produce
+    # 5.5M at sf0.1 — the single most expensive stage of every coverage
+    # check).  Residual duplicate (seg, cell) rows from NON-adjacent samples
+    # are rare and allowed: the function contract says pairs may repeat and
+    # callers aggregate.
+    cx = F.floor(F.col("_sx") / cell_deg)
+    cy = F.floor(F.col("_sy") / cell_deg)
+    prevx = F.col("_sax") + (F.col("_sbx") - F.col("_sax")) * (F.col("_i") - 1) / F.col("_n")
+    prevy = F.col("_say") + (F.col("_sby") - F.col("_say")) * (F.col("_i") - 1) / F.col("_n")
+    pcx = F.floor(prevx / cell_deg)
+    pcy = F.floor(prevy / cell_deg)
     long_cells = (
         sampled.withColumn("_dx", F.explode(ring))
         .withColumn("_dy", F.explode(ring))
-        .withColumn(
-            "cell",
-            cell_id(
-                F.floor(F.col("_sx") / cell_deg) + F.col("_dx"),
-                F.floor(F.col("_sy") / cell_deg) + F.col("_dy"),
-            ),
+        .filter(
+            (F.col("_i") == 0)
+            | (F.abs(cx + F.col("_dx") - pcx) > 1)
+            | (F.abs(cy + F.col("_dy") - pcy) > 1)
         )
-        .dropDuplicates([seg_id, "cell"])
+        .withColumn("cell", cell_id(cx + F.col("_dx"), cy + F.col("_dy")))
         .select(*short_cells.columns)
     )
     segs_cells = short_cells.unionByName(long_cells)

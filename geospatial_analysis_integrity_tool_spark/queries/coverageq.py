@@ -50,7 +50,6 @@ _PRE = 0.003            # oracle bbox prefilter half-width (deg) >= tol
 # is ~7x that, and candidate volume scales with cell area, so a tolerance-
 # matched width cuts refine work ~16x on the sf0.1 lattice fixtures.
 _CELL_150M = 0.0025
-_CELL_25M = 0.0005
 
 
 # --- geo_pnocoverle (PNOCOVERLE 141) -------------------------------------------
@@ -222,10 +221,21 @@ def q_lenocoverl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Web-extracted geometry is coincidence-heavy (many features share exact
     geometry), which makes a naive cell join quadratic in the multiplicity:
     37 coincident lines per lattice point at sf0.1 meant ~500M candidate
-    pairs.  The join therefore runs against DISTINCT segment geometries
-    carrying (min owner, owner count): a distinct segment covers an end
-    unless its ONLY owner is the end's own line — row-identical output, and
-    candidate volume proportional to distinct geometry, not duplication.
+    pairs.  BOTH join sides therefore dedup by geometry first:
+
+    * segments collapse to DISTINCT (ax, ay, bx, by) carrying (min owner,
+      max owner) — a distinct segment covers an end unless its ONLY owner
+      is the end's own line;
+    * probe ends collapse to DISTINCT (px, py) — whether a coordinate is
+      covered depends only on the coordinate, so the expensive candidate
+      join runs once per distinct coordinate (2x fewer probes at sf0.1,
+      ~7M instead of ~14.5M qualifying pairs) and per-coordinate coverage
+      stats (any multi-owner seg; min/max single owner) decide EVERY end
+      sharing that coordinate: end (coord, line) is covered iff some
+      covering seg has >= 2 owners, or >= 2 distinct single owners cover
+      the coord, or the sole single owner is not the end's own line.
+
+    Row-identical to the per-end join (the oracle keeps the naive shape).
     """
     register_geo_views(spark, sf_dir)
     lines = _lines_narrow(spark)
@@ -249,21 +259,34 @@ def q_lenocoverl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ax", "ay", "bx", "by", "_owner1", "_ownerN",
         )
     )
+    coords = (
+        ends.groupBy("px", "py")
+        .agg(F.count("*").alias("_n"))
+        .selectExpr("xxhash64(px, py) AS src_id", "px", "py")
+    )
     cand = point_seg_candidates(
-        ends.selectExpr("pid AS src_id", "px", "py"),
+        coords,
         dsegs,
         tol_m=LCOVER_TOL_M,
         cell_deg=_CELL_150M,
         open_interval=False,
         keep_seg_cols=("_owner1", "_ownerN"),
     )
-    covered = (
-        cand.filter(F.expr("_ownerN <> _owner1 OR _owner1 <> src_id DIV 2"))
-        .select(F.col("src_id").alias("pid"))
-        .distinct()
+    # per-coordinate coverage stats; map-side combinable, output = |coords|
+    covstat = cand.groupBy("src_id").agg(
+        F.max(F.expr("_ownerN <> _owner1")).alias("_multi"),
+        F.min(F.expr("CASE WHEN _ownerN = _owner1 THEN _owner1 END")).alias("_s1"),
+        F.max(F.expr("CASE WHEN _ownerN = _owner1 THEN _owner1 END")).alias("_sN"),
     )
     return (
-        ends.join(covered, "pid", "left_anti")
+        ends.withColumn("src_id", F.expr("xxhash64(px, py)"))
+        .join(covstat, "src_id", "left")
+        .filter(
+            F.expr(
+                "_multi IS NULL"  # no covering segment at all
+                " OR (NOT _multi AND _s1 = _sN AND _s1 = line_id)"
+            )
+        )
         .selectExpr("line_id", "CAST(end_which AS INT) AS end_which")
     )
 
@@ -357,7 +380,12 @@ def q_lnocoverla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = point_seg_candidates(
         probes, lsegs.unionByName(aedges), tol_m=LNOCOVERLA_TOL_M,
-        cell_deg=_CELL_25M,
+        # NOT tolerance-matched: at 0.0005 deg every ~0.005-deg segment
+        # becomes a "long" corridor explode (~15 samples each) and the
+        # seg-cell side dominates; 0.0025 keeps most segments on the plain
+        # bbox cover and the 25 m refine prunes the wider candidates for
+        # free (A/B at sf0.1: 13.9 s @ 0.0005 -> 4.3 s @ 0.0025 warm).
+        cell_deg=_CELL_150M,
         open_interval=False,
     )
     covered = (

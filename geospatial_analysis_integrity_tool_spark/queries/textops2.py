@@ -78,16 +78,22 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("count") - F.count("*")).alias("dup_2g_n"),
         )
     )
+    # ONE pass over the joined stats: a two-leg Union would clone the whole
+    # token-aggregation subtree into both legs (Spark does not share common
+    # subplans), doubling the explode+groupBy work.  Emit a conditional
+    # error array and inline() it instead — same rows, half the token work.
     j = wstats.join(bstats, "doc_id")
-    r1 = j.filter(F.expr("top_word_n * 20 > n_words * 3")).selectExpr(
-        "doc_id", "'TOPWORD' AS errtype", "top_word_n AS metric_n",
-        "n_words AS metric_total",
+    return j.selectExpr(
+        "doc_id",
+        "inline(filter(array("
+        " CASE WHEN top_word_n * 20 > n_words * 3 THEN"
+        "  named_struct('errtype', 'TOPWORD',"
+        "               'metric_n', top_word_n, 'metric_total', n_words) END,"
+        " CASE WHEN dup_2g_n * 20 > n_2g THEN"
+        "  named_struct('errtype', 'DUP2GRAM',"
+        "               'metric_n', dup_2g_n, 'metric_total', n_2g) END"
+        "), e -> e IS NOT NULL))",
     )
-    r2 = j.filter(F.expr("dup_2g_n * 20 > n_2g")).selectExpr(
-        "doc_id", "'DUP2GRAM' AS errtype", "dup_2g_n AS metric_n",
-        "n_2g AS metric_total",
-    )
-    return r1.unionByName(r2)
 
 
 ORACLE_TEXT_REPETITION = r"""
