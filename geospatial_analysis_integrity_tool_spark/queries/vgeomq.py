@@ -147,7 +147,14 @@ def _cells(src: str, out: str, cell: float = CELL) -> str:
 
 def q_line_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
-    segs = segments_of_vertices(spark.table("geo_vlines"))
+    # The crossing self-join references the segment table on BOTH sides and
+    # Spark re-derives the subtree per reference — here that is the vertex
+    # synthesis + the lead() window, twice.  One eager localCheckpoint pays
+    # the derivation once (A/B at sf0.1: 13.6 -> 8.3 s cold); at cluster
+    # scale this is the standard materialize-the-join-input-once pattern.
+    segs = segments_of_vertices(spark.table("geo_vlines")).localCheckpoint(
+        eager=True
+    )
     return segment_intersections(segs, cell_deg=SEGCELL)
 
 
@@ -249,13 +256,17 @@ def _inside_pairs(spark: SparkSession, edges: DataFrame, probes: DataFrame,
     cell cover (probe occupies one cell -> candidate pairs are unique);
     parity computed by an equi-join on area_id — fully distributed, no
     broadcast of vertex arrays.
+
+    The bbox derives from ``edges`` (every ring vertex appears as exactly
+    one edge start, so min/max over ex1/ey1 = min/max over the vertices)
+    rather than re-reading the vertex view — callers that checkpoint the
+    edge table then pay the ring window once for the whole check.
     """
-    v = spark.table(view)
-    bbox = v.groupBy("area_id").agg(
-        F.min("x").alias("_minx"),
-        F.max("x").alias("_maxx"),
-        F.min("y").alias("_miny"),
-        F.max("y").alias("_maxy"),
+    bbox = edges.groupBy("area_id").agg(
+        F.min("ex1").alias("_minx"),
+        F.max("ex1").alias("_maxx"),
+        F.min("ey1").alias("_miny"),
+        F.max("ey1").alias("_maxy"),
     )
     bcells = explode_bbox_cells(bbox, "_minx", "_maxx", "_miny", "_maxy", CELL)
     from ..operators.pip import with_point_cell
@@ -282,10 +293,15 @@ def _inside_pairs(spark: SparkSession, edges: DataFrame, probes: DataFrame,
 
 def q_line_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
-    segs = _with_bbox(
-        segments_of_vertices(spark.table("geo_vlines")), ("sax", "sbx"), ("say", "sby")
+    # geo_vlines is read three times (segments, the vertex probes, the
+    # per-line vertex counts) and the ring-edge window twice (LAINT cell
+    # join + the parity crossings) — checkpoint each once instead of
+    # re-running the synthesis + window per reference (10.8 -> 8.8 s cold).
+    v = spark.table("geo_vlines").select("line_id", "vidx", "x", "y").localCheckpoint(
+        eager=True
     )
-    edges = _area_edges(spark)
+    segs = _with_bbox(segments_of_vertices(v), ("sax", "sbx"), ("say", "sby"))
+    edges = _area_edges(spark).localCheckpoint(eager=True)
     ecells = explode_bbox_cells(
         _with_bbox(edges, ("ex1", "ex2"), ("ey1", "ey2")),
         "_minx", "_maxx", "_miny", "_maxy", EDGECELL,
@@ -310,13 +326,11 @@ def q_line_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["line_id", "area_id"])
     )
 
-    verts = spark.table("geo_vlines").select(
+    verts = v.select(
         "line_id", "vidx", F.col("x").alias("px"), F.col("y").alias("py")
     )
     inside_v = _inside_pairs(spark, edges, verts, ["line_id", "vidx"])
-    nverts = spark.table("geo_vlines").groupBy("line_id").agg(
-        F.count("*").alias("_nv")
-    )
+    nverts = v.groupBy("line_id").agg(F.count("*").alias("_nv"))
     all_inside = (
         inside_v.groupBy("line_id", "area_id")
         .agg(F.count("*").alias("_nin"))
