@@ -422,7 +422,9 @@ FROM geo_vareas WHERE area_id % 11 = 0
 def q_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
     spark.sql(_AREAS_OV_SQL).createOrReplaceTempView("geo_vareas_ov")
-    edges = _area_edges(spark, view="geo_vareas_ov")
+    # referenced 4x (both sides of the crossing self-join, the parity bbox,
+    # the parity crossings) — checkpoint the ring window once
+    edges = _area_edges(spark, view="geo_vareas_ov").localCheckpoint(eager=True)
     ec = explode_bbox_cells(
         _with_bbox(edges, ("ex1", "ex2"), ("ey1", "ey2")),
         "_minx", "_maxx", "_miny", "_maxy", EDGECELL,
