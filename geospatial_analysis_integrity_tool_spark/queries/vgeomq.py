@@ -147,14 +147,7 @@ def _cells(src: str, out: str, cell: float = CELL) -> str:
 
 def q_line_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
-    # The crossing self-join references the segment table on BOTH sides and
-    # Spark re-derives the subtree per reference — here that is the vertex
-    # synthesis + the lead() window, twice.  One eager localCheckpoint pays
-    # the derivation once (A/B at sf0.1: 13.6 -> 8.3 s cold); at cluster
-    # scale this is the standard materialize-the-join-input-once pattern.
-    segs = segments_of_vertices(spark.table("geo_vlines")).localCheckpoint(
-        eager=True
-    )
+    segs = segments_of_vertices(spark.table("geo_vlines"))
     return segment_intersections(segs, cell_deg=SEGCELL)
 
 
@@ -256,17 +249,13 @@ def _inside_pairs(spark: SparkSession, edges: DataFrame, probes: DataFrame,
     cell cover (probe occupies one cell -> candidate pairs are unique);
     parity computed by an equi-join on area_id — fully distributed, no
     broadcast of vertex arrays.
-
-    The bbox derives from ``edges`` (every ring vertex appears as exactly
-    one edge start, so min/max over ex1/ey1 = min/max over the vertices)
-    rather than re-reading the vertex view — callers that checkpoint the
-    edge table then pay the ring window once for the whole check.
     """
-    bbox = edges.groupBy("area_id").agg(
-        F.min("ex1").alias("_minx"),
-        F.max("ex1").alias("_maxx"),
-        F.min("ey1").alias("_miny"),
-        F.max("ey1").alias("_maxy"),
+    v = spark.table(view)
+    bbox = v.groupBy("area_id").agg(
+        F.min("x").alias("_minx"),
+        F.max("x").alias("_maxx"),
+        F.min("y").alias("_miny"),
+        F.max("y").alias("_maxy"),
     )
     bcells = explode_bbox_cells(bbox, "_minx", "_maxx", "_miny", "_maxy", CELL)
     from ..operators.pip import with_point_cell
@@ -293,15 +282,10 @@ def _inside_pairs(spark: SparkSession, edges: DataFrame, probes: DataFrame,
 
 def q_line_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
-    # geo_vlines is read three times (segments, the vertex probes, the
-    # per-line vertex counts) and the ring-edge window twice (LAINT cell
-    # join + the parity crossings) — checkpoint each once instead of
-    # re-running the synthesis + window per reference (10.8 -> 8.8 s cold).
-    v = spark.table("geo_vlines").select("line_id", "vidx", "x", "y").localCheckpoint(
-        eager=True
+    segs = _with_bbox(
+        segments_of_vertices(spark.table("geo_vlines")), ("sax", "sbx"), ("say", "sby")
     )
-    segs = _with_bbox(segments_of_vertices(v), ("sax", "sbx"), ("say", "sby"))
-    edges = _area_edges(spark).localCheckpoint(eager=True)
+    edges = _area_edges(spark)
     ecells = explode_bbox_cells(
         _with_bbox(edges, ("ex1", "ex2"), ("ey1", "ey2")),
         "_minx", "_maxx", "_miny", "_maxy", EDGECELL,
@@ -326,11 +310,13 @@ def q_line_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["line_id", "area_id"])
     )
 
-    verts = v.select(
+    verts = spark.table("geo_vlines").select(
         "line_id", "vidx", F.col("x").alias("px"), F.col("y").alias("py")
     )
     inside_v = _inside_pairs(spark, edges, verts, ["line_id", "vidx"])
-    nverts = v.groupBy("line_id").agg(F.count("*").alias("_nv"))
+    nverts = spark.table("geo_vlines").groupBy("line_id").agg(
+        F.count("*").alias("_nv")
+    )
     all_inside = (
         inside_v.groupBy("line_id", "area_id")
         .agg(F.count("*").alias("_nin"))
@@ -422,9 +408,7 @@ FROM geo_vareas WHERE area_id % 11 = 0
 def q_area_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
     spark.sql(_AREAS_OV_SQL).createOrReplaceTempView("geo_vareas_ov")
-    # referenced 4x (both sides of the crossing self-join, the parity bbox,
-    # the parity crossings) — checkpoint the ring window once
-    edges = _area_edges(spark, view="geo_vareas_ov").localCheckpoint(eager=True)
+    edges = _area_edges(spark, view="geo_vareas_ov")
     ec = explode_bbox_cells(
         _with_bbox(edges, ("ex1", "ex2"), ("ey1", "ey2")),
         "_minx", "_maxx", "_miny", "_maxy", EDGECELL,
