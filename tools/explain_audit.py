@@ -82,6 +82,23 @@ AUDIT = {
         "note": "coverage anti-join: k-ring candidates, JVM distance, "
         "left-anti against the covered set",
     },
+    "pages_dedup_url_latest": {
+        "want": ["HashAggregate", "MapInPandas"],
+        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "BatchEvalPython"],
+        "note": "snapshot consolidation is ONE map-side-combinable hash "
+        "aggregate over the synthesized pages — no join anywhere",
+    },
+    "pages_host_stats": {
+        "want": ["HashAggregate"],
+        "forbid": ["SortMergeJoin", "BroadcastHashJoin", "BatchEvalPython"],
+        "note": "host rollup reduces to one row per host before the shuffle",
+    },
+    "docs_token_df_topk": {
+        "want": ["Generate", "Window", "HashAggregate"],
+        "forbid": ["Join", "BatchEvalPython", "MapInPandas"],
+        "note": "distinct-per-doc explode -> partial-aggregated df counts -> "
+        "per-lang top-k window; pure JVM",
+    },
     "geo_clamp_sdc": {
         "want": ["Window"],
         "forbid": ["MapInPandas", "BatchEvalPython", "SortMergeJoin"],
