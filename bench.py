@@ -69,6 +69,10 @@ HEADLINE = [
     "docs_decontaminate",
     "text_pii_scrub",
     "streaming_windowed_counts",
+    # round-3 web-curation additions
+    "pages_dedup_url_latest",
+    "pages_host_stats",
+    "docs_token_df_topk",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec
