@@ -18,10 +18,40 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-#: subset of the reference's 277-trigraph table (IsTrigraph.c:14)
-VALID_TRIGRAPHS = frozenset(
-    ["USA", "CAN", "MEX", "DEU", "FRA", "GBR", "ESP", "ITA", "JPN", "AUS"]
-)
+#: the reference's FULL 277-entry country-trigraph table, transcribed from
+#: the MIT-licensed data array (IsTrigraph.c:14 — ISO-3166-style alpha-3
+#: codes plus NGA multi-country composites like ACGU/APFS/BWCS); data, not
+#: code, same footing as the MGCP TRD3 tables in functions/mgcp3_tables.py.
+VALID_TRIGRAPHS = frozenset([
+    "ABW", "ACGU", "AFG", "AGO", "AIA", "ALA", "ALB", "AND", "ANT", "APFS",
+    "ARE", "ARG", "ARM", "ASM", "ATA", "ATF", "ATG", "AUS", "AUT", "AZE",
+    "BDI", "BEL", "BEN", "BES", "BFA", "BGD", "BGR", "BHR", "BHS", "BIH",
+    "BLM", "BLR", "BLZ", "BMU", "BOL", "BRA", "BRB", "BRN", "BTN", "BVT",
+    "BWA", "BWCS", "CAF", "CAN", "CCK", "CFCK", "CFUP", "CHE", "CHL",
+    "CHN", "CIV", "CMFC", "CMFP", "CMR", "COD", "COG", "COK", "COL", "COM",
+    "CPMT", "CPV", "CRI", "CUB", "CUW", "CWCS", "CXR", "CYM", "CYP", "CZE",
+    "DEU", "DJI", "DMA", "DNK", "DOM", "DZA", "ECU", "EFOR", "EGY", "ERI",
+    "ESH", "ESP", "EST", "ETH", "EUDA", "FGI", "FIN", "FJI", "FLK", "FRA",
+    "FRO", "FSM", "FVEY", "GAB", "GBR", "GCTF", "GEO", "GGY", "GHA", "GIB",
+    "GIN", "GLP", "GMB", "GMIF", "GNB", "GNQ", "GRC", "GRD", "GRL", "GTM",
+    "GUF", "GUM", "GUY", "HKG", "HMD", "HND", "HRV", "HTI", "HUN", "IDN",
+    "IESC", "IMN", "IND", "IOT", "IRL", "IRN", "IRQ", "ISAF", "ISL", "ISR",
+    "ITA", "JAM", "JEY", "JOR", "JPN", "KAZ", "KEN", "KFOR", "KGZ", "KHM",
+    "KIR", "KNA", "KOR", "KWT", "LAO", "LBN", "LBR", "LBY", "LCA", "LIE",
+    "LKA", "LSO", "LTU", "LUX", "LVA", "MAC", "MAF", "MAR", "MCFI", "MCO",
+    "MDA", "MDG", "MDV", "MEX", "MHL", "MIFH", "MKD", "MLEC", "MLI", "MLT",
+    "MMR", "MNE", "MNG", "MNP", "MOZ", "MRT", "MSR", "MTQ", "MUS", "MWI",
+    "MYS", "MYT", "NACT", "NAM", "NATO", "NCL", "NER", "NFK", "NGA", "NIC",
+    "NIU", "NLD", "NOR", "NPL", "NRU", "NZL", "OMN", "PAK", "PAN", "PCN",
+    "PER", "PHL", "PLW", "PNG", "POL", "PRI", "PRK", "PRT", "PRY", "PSE",
+    "PYF", "QAT", "REU", "ROU", "RUS", "RWA", "SAU", "SDN", "SEN", "SGP",
+    "SGS", "SHN", "SJM", "SLB", "SLE", "SLV", "SMR", "SOM", "SPAA", "SPM",
+    "SRB", "SSD", "STP", "SUR", "SVK", "SVN", "SWE", "SWZ", "SXM", "SYC",
+    "SYR", "TCA", "TCD", "TEYE", "TGO", "THA", "TJK", "TKL", "TKM", "TLS",
+    "TON", "TTO", "TUN", "TUR", "TUV", "TWN", "TZA", "UGA", "UKR", "UMI",
+    "UNCK", "UNKNOWN", "URY", "USA", "UZB", "VAT", "VCT", "VEN", "VGB",
+    "VIR", "VNM", "VUT", "WLF", "WSM", "YEM", "ZAF", "ZMB", "ZWE"
+])
 VALID_SECURITY = frozenset(["U", "R", "C", "S", "TS"])
 EDITION_RANGE = (1, 50)
 
