@@ -1,0 +1,238 @@
+"""Embedding-space training-data ops: k-means clustering and product-quantized
+ANN over the `embeddings` table (64-dim float32 vectors).
+
+Two standard large-corpus vector stages:
+
+* **k-means clustering** (`embedding_kmeans`): SemDeDup-style corpus
+  clustering (Abbas et al. 2023) — two unrolled Lloyd's iterations with
+  deterministic seeding (centroids 0..K-1 = the vectors with vec_id 0..K-1),
+  reporting per-cluster size and inertia after the second assignment.
+* **product quantization ANN** (`embedding_pq_topk`): PQ (Jégou et al. 2011)
+  — the 64-dim space splits into 8 subspaces of 8 dims; each subspace is
+  coded by 8 mean-threshold sign bits (a trained, data-derived codebook:
+  thresholds are per-dimension corpus means, centroids are per-(subspace,
+  code) member means); queries rank the corpus by asymmetric distance
+  computed from a per-query lookup table (ADC), the actual PQ trick.
+
+Determinism: every value is quantized to integers up front
+(``floor(v * 1000)``) and all downstream arithmetic — distances, means
+(truncating DIV, identical in Spark and DuckDB for negatives: -7 DIV 2 =
+-7 // 2 = -3), codes — is exact BIGINT, so the DuckDB twins hash
+bit-identically; no float accumulation order anywhere.
+
+Scale notes (10^10-vector corpus):
+
+* both ops explode vectors once to (vec, dim) long form; every training
+  aggregate (thresholds, codes, centroids) is map-side combinable and its
+  output is codebook-sized (<= K*64 or 8*256*8 rows) — broadcast back, so
+  the corpus never shuffles by value;
+* k-means assignment joins the broadcast centroid table and reduces
+  per (vec, k) with a partial aggregate; a production loop would iterate
+  the same two stages with a k*64-int driver collect per round;
+* PQ search never touches corpus vectors: the corpus side carries 8 codes
+  per vector, the per-query ADC table (queries x 8 x <=256) is broadcast,
+  and the distance is one 8-row sum per (query, candidate).  Top-k per
+  query is a bounded window (k queries here; at real scale a per-partition
+  heap + driver merge of k rows per query, as in operators/ann.cosine_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.synthetic import register_testdata_views
+
+K_CLUSTERS = 8
+PQ_NSUB = 8  # 8 subspaces x 8 dims = 64
+PQ_QUERIES = 5
+PQ_TOPK = 5
+
+
+def _verts(spark: SparkSession) -> DataFrame:
+    """(vec_id, d, qv): integer-quantized long form of the embeddings."""
+    e = spark.table("embeddings").select("vec_id", "embedding")
+    return e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d", "_v"),
+    ).select(
+        "vec_id",
+        "d",
+        F.expr("CAST(floor(CAST(_v AS DOUBLE) * 1000) AS BIGINT)").alias("qv"),
+    )
+
+
+_VERTS_SQL = """
+verts AS (
+  SELECT vec_id, CAST(d - 1 AS INT) AS d,
+         CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS qv
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)
+)
+"""
+
+
+# --- embedding_kmeans ----------------------------------------------------------
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    verts = _verts(spark)
+
+    cen0 = (
+        verts.filter(F.col("vec_id") < K_CLUSTERS)
+        .select(F.col("vec_id").alias("k"), "d", F.col("qv").alias("cv"))
+    )
+
+    def assign(cen: DataFrame) -> DataFrame:
+        # argmin_k sum_d (qv - cv)^2, ties to the smallest k
+        return (
+            verts.join(F.broadcast(cen), "d")
+            .groupBy("vec_id", "k")
+            .agg(F.sum(F.expr("(qv - cv) * (qv - cv)")).alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "k")).alias("m"))
+            .select("vec_id", F.col("m.k").alias("k"), F.col("m.dist").alias("dist"))
+        )
+
+    a1 = assign(cen0)
+    cen1 = (
+        verts.join(a1.select("vec_id", "k"), "vec_id")
+        .groupBy("k", "d")
+        .agg(F.expr("sum(qv) DIV count(*)").alias("cv"))
+    )
+    a2 = assign(cen1)
+    return (
+        a2.groupBy("k")
+        .agg(F.count("*").alias("n_members"), F.sum("dist").alias("inertia"))
+        .select(F.col("k").alias("cluster_id"), "n_members", "inertia")
+    )
+
+
+# the oracle is one explicit CTE chain with the two iterations unrolled
+_ASSIGN_SQL = """
+{name} AS (
+  SELECT vec_id, k, dist FROM (
+    SELECT vec_id, k, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+    FROM (
+      SELECT v.vec_id, c.k, SUM((v.qv - c.cv) * (v.qv - c.cv)) AS dist
+      FROM verts v JOIN {cen} c USING (d)
+      GROUP BY 1, 2
+    )
+  ) WHERE rn = 1
+)
+"""
+
+ORACLE_KMEANS = f"""
+WITH {_VERTS_SQL.strip()},
+cen0 AS (
+  SELECT vec_id AS k, d, qv AS cv FROM verts WHERE vec_id < {K_CLUSTERS}
+),
+{_ASSIGN_SQL.format(name='a1', cen='cen0').strip()},
+cen1 AS (
+  SELECT a1.k, v.d, SUM(v.qv) // COUNT(*) AS cv
+  FROM verts v JOIN a1 USING (vec_id)
+  GROUP BY 1, 2
+),
+{_ASSIGN_SQL.format(name='a2', cen='cen1').strip()}
+SELECT k AS cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia
+FROM a2 GROUP BY 1
+"""
+
+
+# --- embedding_pq_topk ----------------------------------------------------------
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    verts = _verts(spark).withColumn("sub", F.expr("d DIV 8"))
+
+    thr = verts.groupBy("d").agg(F.expr("sum(qv) DIV count(*)").alias("thr"))
+    codes = (
+        verts.join(F.broadcast(thr), "d")
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN qv > thr THEN shiftleft(1L, d % 8) ELSE 0L END")
+            ).alias("code")
+        )
+    )
+    cen = (
+        verts.join(codes, ["vec_id", "sub"])
+        .groupBy("sub", "code", "d")
+        .agg(F.expr("sum(qv) DIV count(*)").alias("cv"))
+    )
+    qverts = verts.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "d", F.col("qv").alias("qqv")
+    )
+    adc = (
+        qverts.join(cen, ["sub", "d"])
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum(F.expr("(qqv - cv) * (qqv - cv)")).alias("pd"))
+    )
+    dist = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(adc), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adc_dist"))
+        .filter("neighbor_id <> query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(f"rank <= {PQ_TOPK}")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.expr("CAST(rank AS BIGINT)").alias("rank"),
+        )
+    )
+
+
+ORACLE_PQ = f"""
+WITH {_VERTS_SQL.strip()},
+sverts AS (SELECT vec_id, d, d // 8 AS sub, qv FROM verts),
+thr AS (SELECT d, SUM(qv) // COUNT(*) AS thr FROM sverts GROUP BY 1),
+codes AS (
+  SELECT vec_id, sub,
+         CAST(SUM(CASE WHEN qv > thr THEN (1::BIGINT << (d % 8)) ELSE 0 END)
+              AS BIGINT) AS code
+  FROM sverts JOIN thr USING (d)
+  GROUP BY 1, 2
+),
+cen AS (
+  SELECT v.sub, c.code, v.d, SUM(v.qv) // COUNT(*) AS cv
+  FROM sverts v JOIN codes c ON c.vec_id = v.vec_id AND c.sub = v.sub
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT q.vec_id AS query_id, c.sub, c.code,
+         SUM((q.qv - c.cv) * (q.qv - c.cv)) AS pd
+  FROM sverts q JOIN cen c ON c.sub = q.sub AND c.d = q.d
+  WHERE q.vec_id < {PQ_QUERIES}
+  GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT a.query_id, x.vec_id AS neighbor_id, CAST(SUM(a.pd) AS BIGINT) AS adc_dist
+  FROM codes x JOIN adc a ON a.sub = x.sub AND a.code = x.code
+  WHERE x.vec_id <> a.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM dist
+) WHERE rank <= {PQ_TOPK}
+"""
+
+
+QUERIES = {
+    "embedding_kmeans": q_embedding_kmeans,
+    "embedding_pq_topk": q_embedding_pq_topk,
+}
+ORACLES: dict[str, str] = {
+    "embedding_kmeans": ORACLE_KMEANS,
+    "embedding_pq_topk": ORACLE_PQ,
+}
