@@ -37,9 +37,14 @@ _FCODES = ("AL015", "GB005", "BH140", "AP030", "FA000")
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def _page_batch(idx: np.ndarray) -> pd.DataFrame:
+def _page_batch(idx: np.ndarray, n_total: int = 0) -> pd.DataFrame:
     """Vectorized page synthesis for an array of row indexes (seeded by index,
-    not by RNG state, so any partitioning yields identical rows)."""
+    not by RNG state, so any partitioning yields identical rows).
+
+    ``n_total`` is the corpus size; when > 0 every page carries 0..3
+    deterministic outlinks to other pages (the web link graph for the
+    linkgraph ops).  Links live outside <p> bodies and geo spans, so the
+    extracted-text and feature contracts are unchanged."""
     n = len(idx)
     # --- text: 3 sentences of index-derived words ---------------------------
     w = len(_WORDS)
@@ -78,6 +83,22 @@ def _page_batch(idx: np.ndarray) -> pd.DataFrame:
         )
         spans = spans + span.where(has, "")
 
+    # --- outlinks: page i links to (i*2017 + j*3571) % n_total, j < (i*7)%4 -
+    links = pd.Series([""] * n)
+    if n_total > 0:
+        nlink = (idx * 7) % 4
+        for j in range(3):
+            has = nlink > j
+            tgt = (idx * 2017 + j * 3571) % n_total
+            a = (
+                '<a class="out" href="https://example.org/'
+                + pd.Series([_LANGS[int(t) % 4] for t in tgt])
+                + "/page/"
+                + pd.Series(tgt.astype(str))
+                + '">ref</a>'
+            )
+            links = links + a.where(has, "")
+
     # --- html: boilerplate + <p> paragraphs + spans -------------------------
     p_html = (
         "<p>" + parts[0] + "</p><p>" + parts[1] + "</p><p>" + parts[2] + "</p>"
@@ -88,6 +109,7 @@ def _page_batch(idx: np.ndarray) -> pd.DataFrame:
         + '</title><meta charset="utf-8"></head><body><nav>boilerplate nav</nav>'
         + p_html
         + spans
+        + links
         + "<footer>boilerplate footer</footer></body></html>"
     )
 
@@ -114,7 +136,7 @@ def synth_pages(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _page_batch(pdf["id"].to_numpy())
+            yield _page_batch(pdf["id"].to_numpy(), n_total=n)
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=PAGES_SCHEMA)
 
@@ -168,4 +190,33 @@ def extract_features(pages: DataFrame) -> DataFrame:
 
     return pages.select("url", "html").mapInPandas(
         run, schema="url string, ordinal long, fcode string, lon double, lat double"
+    )
+
+
+_A_RE = r'<a class="out" href="([^"]+)">'
+
+
+def extract_outlinks(pages: DataFrame) -> DataFrame:
+    """pages -> outlink edges (src_url, ordinal, dst_url).
+
+    Same batched-extractall shape as extract_features: one Arrow hop, no
+    per-row Python, no shuffle — the edge list streams out of the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            s = pdf["html"].map(lambda b: b.decode("utf-8"))
+            found = s.str.extractall(_A_RE)
+            if len(found) == 0:
+                continue
+            found = found.reset_index()
+            yield pd.DataFrame(
+                {
+                    "src_url": pdf["url"].to_numpy()[found["level_0"].to_numpy()],
+                    "ordinal": found["match"].astype("int64"),
+                    "dst_url": found[0],
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        run, schema="src_url string, ordinal long, dst_url string"
     )
