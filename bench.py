@@ -73,6 +73,13 @@ HEADLINE = [
     "pages_dedup_url_latest",
     "pages_host_stats",
     "docs_token_df_topk",
+    # round-3 link-graph / retrieval / vector additions
+    "pages_pagerank",
+    "pages_line_dedup",
+    "docs_bm25_topk",
+    "embedding_pq_topk",
+    "embedding_kmeans",
+    "docs_quality_classifier",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

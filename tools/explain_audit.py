@@ -93,6 +93,49 @@ AUDIT = {
         "forbid": ["SortMergeJoin", "BroadcastHashJoin", "BatchEvalPython"],
         "note": "host rollup reduces to one row per host before the shuffle",
     },
+    "text_repetition_filters": {
+        "want": ["MapInPandas"],
+        "forbid": ["Exchange", "HashAggregate", "Join"],
+        "note": "per-doc repetition stats are row-local: ONE zero-shuffle "
+        "Arrow pass (vectorized frequency tables per batch), no Exchange "
+        "in the plan at all",
+    },
+    "pages_pagerank": {
+        "want": ["HashAggregate", "MapInPandas"],
+        "forbid": ["BatchEvalPython", "CartesianProduct"],
+        "note": "edge list extracted once (localCheckpoint), two power "
+        "iterations = join ranks on src + groupBy dst with partial agg",
+    },
+    "pages_line_dedup": {
+        "want": ["Generate", "HashAggregate", "MapInPandas"],
+        "forbid": ["BatchEvalPython", "CartesianProduct"],
+        "note": "CCNet line dedup: explode -> line-frequency hash agg -> "
+        "join back on line value -> per-page re-aggregate",
+    },
+    "docs_bm25_topk": {
+        "want": ["Generate", "HashAggregate", "BroadcastHashJoin", "TakeOrdered"],
+        "forbid": ["MapInPandas", "BatchEvalPython", "SortMergeJoin"],
+        "note": "term-filtered explode before the shuffle; df + corpus "
+        "scalars broadcast; top-k is TakeOrdered, never a global sort",
+    },
+    "embedding_pq_topk": {
+        "want": ["Generate", "HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+        "note": "PQ: codebook-sized aggregates broadcast back; ADC table "
+        "broadcast to the corpus-code side; no vector ever re-shuffled",
+    },
+    "embedding_kmeans": {
+        "want": ["Generate", "HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["MapInPandas", "BatchEvalPython", "CartesianProduct"],
+        "note": "Lloyd's iteration = broadcast centroids + partial-agg "
+        "distance reduce per (vec, k)",
+    },
+    "docs_quality_classifier": {
+        "want": ["Generate", "HashAggregate"],
+        "forbid": ["Join", "MapInPandas", "BatchEvalPython"],
+        "note": "linear classifier: explode -> one map-side-combinable "
+        "weight-sum aggregate; pure codegen",
+    },
     "docs_token_df_topk": {
         "want": ["Generate", "Window", "HashAggregate"],
         "forbid": ["Join", "BatchEvalPython", "MapInPandas"],
