@@ -80,6 +80,9 @@ HEADLINE = [
     "embedding_pq_topk",
     "embedding_kmeans",
     "docs_quality_classifier",
+    "embedding_semantic_dedup",
+    "docs_mixture_weights",
+    "warc_scan",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

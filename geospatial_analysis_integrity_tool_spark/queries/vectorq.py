@@ -236,3 +236,115 @@ ORACLES: dict[str, str] = {
     "embedding_kmeans": ORACLE_KMEANS,
     "embedding_pq_topk": ORACLE_PQ,
 }
+
+
+# --- embedding_semantic_dedup (SemDeDup) ------------------------------------------
+#
+# SemDeDup (Abbas et al. 2023): cluster the corpus, then find near-duplicate
+# pairs ONLY within a cluster — the cluster is the candidate bucket, so the
+# pair search is per-cluster all-pairs (clusters are bounded by design; at
+# 10^10 vectors you raise K, not the per-cluster work).  Candidates use the
+# augmented corpus from queries/embeddings (planted near-dups at cos ~0.99
+# against a ~0.51 background, so the 0.9 threshold sits in an empty margin
+# that 1e-2 quantization noise cannot bridge).
+#
+# Integer-exact cosine test: with qv = floor(v * 100),
+#   cos >= 0.9  <=>  dot > 0 AND 100 * dot^2 >= 81 * |a|^2 * |b|^2
+# (dot <= 64 * 300^2 ~ 5.8e6, so every product stays far below 2^63).
+SEM_K = 8
+_SEM_Q = 100  # coarser quantization keeps the squared test inside BIGINT
+
+
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .embeddings import _emb_aug
+
+    register_testdata_views(spark, sf_dir)
+    aug = _emb_aug(spark)
+    verts = aug.select(
+        "vec_id", F.posexplode("embedding").alias("d", "_v")
+    ).select(
+        "vec_id",
+        "d",
+        F.expr(f"CAST(floor(CAST(_v AS DOUBLE) * {_SEM_Q}) AS BIGINT)").alias("qv"),
+    )
+    cen0 = verts.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("k"), "d", F.col("qv").alias("cv")
+    )
+    assign = (
+        verts.join(F.broadcast(cen0), "d")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.expr("(qv - cv) * (qv - cv)")).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "k")).alias("m"))
+        .select("vec_id", F.col("m.k").alias("k"))
+    )
+    av = verts.join(assign, "vec_id")
+    norms = verts.groupBy("vec_id").agg(F.sum(F.expr("qv * qv")).alias("n2"))
+    dots = (
+        av.select(F.col("vec_id").alias("vec_a"), "k", "d", F.col("qv").alias("qa"))
+        .join(
+            av.select(
+                F.col("vec_id").alias("vec_b"), "k", "d", F.col("qv").alias("qb")
+            ),
+            ["k", "d"],
+        )
+        .filter("vec_a < vec_b")
+        .groupBy("vec_a", "vec_b", "k")
+        .agg(F.sum(F.expr("qa * qb")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("vec_id", "vec_a")
+                  .withColumnRenamed("n2", "n2a"), "vec_a")
+        .join(norms.withColumnRenamed("vec_id", "vec_b")
+              .withColumnRenamed("n2", "n2b"), "vec_b")
+        .filter("dot > 0 AND 100 * dot * dot >= 81 * n2a * n2b")
+        .select("vec_a", "vec_b", F.col("k").alias("cluster_id"))
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_concat([CAST(0.0 AS FLOAT)], embedding[2:])
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+verts AS (
+  SELECT vec_id, CAST(d - 1 AS INT) AS d,
+         CAST(floor(CAST(v AS DOUBLE) * {_SEM_Q}) AS BIGINT) AS qv
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS d
+        FROM emb_aug)
+),
+cen0 AS (SELECT vec_id AS k, d, qv AS cv FROM verts WHERE vec_id < {SEM_K}),
+assign AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+    FROM (
+      SELECT v.vec_id, c.k, SUM((v.qv - c.cv) * (v.qv - c.cv)) AS dist
+      FROM verts v JOIN cen0 c USING (d) GROUP BY 1, 2
+    )
+  ) WHERE rn = 1
+),
+norms AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2 FROM verts GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, s.k,
+         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+  FROM verts a
+  JOIN assign s ON s.vec_id = a.vec_id
+  JOIN assign t ON t.k = s.k
+  JOIN verts b ON b.vec_id = t.vec_id AND b.d = a.d
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+)
+SELECT d.vec_a, d.vec_b, d.k AS cluster_id
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE d.dot > 0 AND 100 * d.dot * d.dot >= 81 * na.n2 * nb.n2
+"""
+
+QUERIES["embedding_semantic_dedup"] = q_embedding_semantic_dedup
+ORACLES["embedding_semantic_dedup"] = ORACLE_SEMANTIC_DEDUP

@@ -119,11 +119,54 @@ SELECT host, url, rn FROM (
 """
 
 
+# --- docs_mixture_weights ---------------------------------------------------------
+#
+# Training-mix design: per-source sampling weights with sqrt temperature
+# (UniMax / "alpha = 0.5" mixing — upweights small sources, damps mega
+# sources).  weight_ppm = isqrt(source_chars) * 1e6 DIV sum(isqrt(chars));
+# floor(sqrt(x)) on a BIGINT < 2^52 is exact IEEE in both engines.
+def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    per_src = (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .withColumn("w", F.expr("CAST(floor(sqrt(n_chars)) AS BIGINT)"))
+    )
+    tot = per_src.agg(F.sum("w").alias("tw"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.expr("(w * 1000000) DIV tw").alias("weight_ppm"),
+        )
+    )
+
+
+ORACLE_MIXTURE = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(floor(sqrt(CAST(SUM(n_chars) AS BIGINT))) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM per_src)
+SELECT source, n_docs, n_chars, (w * 1000000) // tw AS weight_ppm
+FROM per_src CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "docs_quality_classifier": q_docs_quality_classifier,
     "pages_host_quota": q_pages_host_quota,
+    "docs_mixture_weights": q_docs_mixture_weights,
 }
 ORACLES: dict[str, str] = {
     "docs_quality_classifier": ORACLE_QUALITY,
     "pages_host_quota": _oracle_host_quota(500),
+    "docs_mixture_weights": ORACLE_MIXTURE,
 }
