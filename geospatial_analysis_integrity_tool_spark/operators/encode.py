@@ -15,7 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..functions.cells_hex import hex_cell
 from ..functions.cells_s2 import cell_id_from_lat_lng
@@ -24,22 +24,22 @@ HEX_RES_RANGE = tuple(range(7, 13))  # north rule: H3 res 7..12
 S2_LEVEL_RANGE = tuple(range(10, 17))  # north rule: S2 level 10..16
 
 
-def _hex_udf(res: int):
-    @F.pandas_udf(LongType())
-    def f(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        return pd.Series(hex_cell(lat.to_numpy(), lon.to_numpy(), res), index=lat.index)
+def _cells_udf(hex_res: tuple[int, ...], s2_levels: tuple[int, ...]):
+    """ONE Arrow kernel emitting every requested cell id as a struct — the
+    lat/lon batch crosses the Python boundary once, not once per scale."""
+    names = [f"hex_r{r}" for r in hex_res] + [f"s2_l{lv}" for lv in s2_levels]
+    schema = StructType([StructField(n, LongType()) for n in names])
 
-    return f
-
-
-def _s2_udf(level: int):
-    @F.pandas_udf(LongType())
-    def f(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        return pd.Series(
-            cell_id_from_lat_lng(lat.to_numpy(), lon.to_numpy(), level), index=lat.index
+    @F.pandas_udf(schema)
+    def f(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        la, lo = lat.to_numpy(), lon.to_numpy()
+        data = {f"hex_r{r}": hex_cell(la, lo, r) for r in hex_res}
+        data.update(
+            {f"s2_l{lv}": cell_id_from_lat_lng(la, lo, lv) for lv in s2_levels}
         )
+        return pd.DataFrame(data, index=lat.index)
 
-    return f
+    return f, names
 
 
 def encode_cells(
@@ -50,8 +50,8 @@ def encode_cells(
     s2_levels: tuple[int, ...] = S2_LEVEL_RANGE,
 ) -> DataFrame:
     """Add hex_r{res} and s2_l{level} id columns for every requested scale."""
-    for r in hex_res:
-        df = df.withColumn(f"hex_r{r}", _hex_udf(r)(F.col(lat), F.col(lon)))
-    for lv in s2_levels:
-        df = df.withColumn(f"s2_l{lv}", _s2_udf(lv)(F.col(lat), F.col(lon)))
-    return df
+    udf, names = _cells_udf(hex_res, s2_levels)
+    df = df.withColumn("_cells", udf(F.col(lat), F.col(lon)))
+    for n in names:
+        df = df.withColumn(n, F.col(f"_cells.{n}"))
+    return df.drop("_cells")
