@@ -250,11 +250,106 @@ WHERE win + {WIN_S} <= 780 - {DELAY_S}
 GROUP BY 1, 2
 """
 
+# --- streaming_url_consolidate (running freshest-capture per key) --------------
+#
+# The incremental crawl-consolidation stage: captures of the same canonical
+# url arrive across micro-batches; the stateful operator keeps (count,
+# max_ts, payload_at_max) per key and emits the RUNNING consolidated view in
+# every batch where the key appears.  Key coverage is total per batch
+# (key = (i*7) % NK with 7 invertible mod NK), so the replay emits exactly
+# NK rows per batch; ts is a pseudo-shuffled UNIQUE value so "freshest" is
+# never a tie.  Emission count depends on micro-batch boundaries, which the
+# gate pins with one-file-per-trigger (mtime order) like the windowed gate.
+NK2 = 120
+NPB2 = 120
+NB2 = 5
+
+
+def write_capture_fixture(dirpath: str | None = None) -> str:
+    import pandas as pd
+
+    from ..sources.fixtures import fixture_dir
+
+    if dirpath is None:
+        dirpath = fixture_dir("stream_caps_v1")
+    if os.path.exists(os.path.join(dirpath, "_done")):
+        return dirpath
+    rows = [
+        {
+            "cap_key": (i * 7) % NK2,
+            "batch_idx": i // NPB2,
+            "ts": ((i * 5231) % 7919) * 1000 + i,
+            "payload": i,
+        }
+        for i in range(NB2 * NPB2)
+    ]
+    df = pd.DataFrame(rows)
+    t0 = 1_700_000_000
+    for b, grp in df.groupby("batch_idx"):
+        p = os.path.join(dirpath, f"c{int(b):03d}.parquet")
+        grp.to_parquet(p)
+        os.utime(p, (t0 + int(b) * 10, t0 + int(b) * 10))
+    open(os.path.join(dirpath, "_done"), "w").write("ok")
+    return dirpath
+
+
+def q_streaming_url_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import consolidate_latest
+
+    d = write_capture_fixture()
+    for q in spark.streams.active:
+        if q.name == "url_consolidate_sink":
+            q.stop()
+    src = (
+        spark.readStream.schema(
+            "cap_key long, batch_idx long, ts long, payload long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = consolidate_latest(src, key_col="cap_key", ts_col="ts", payload_col="payload")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("url_consolidate_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination(300)
+    return spark.table("url_consolidate_sink").select(
+        "cap_key", "upto_batch", "n_so_far", "latest_ts", "latest_payload"
+    )
+
+
+ORACLE_STREAMING_URL_CONSOLIDATE = f"""
+WITH src AS (
+  SELECT (i * 7) % {NK2} AS cap_key, i // {NPB2} AS batch_idx,
+         ((i * 5231) % 7919) * 1000 + i AS ts, i AS payload
+  FROM (SELECT unnest(range(0, {NB2 * NPB2})) AS i)
+),
+per AS (SELECT DISTINCT cap_key, batch_idx FROM src)
+SELECT CAST(p.cap_key AS BIGINT) AS cap_key,
+       CAST(p.batch_idx AS BIGINT) AS upto_batch,
+       COUNT(*) AS n_so_far,
+       CAST(MAX(s.ts) AS BIGINT) AS latest_ts,
+       CAST(arg_max(s.payload, s.ts) AS BIGINT) AS latest_payload
+FROM per p JOIN src s
+  ON s.cap_key = p.cap_key AND s.batch_idx <= p.batch_idx
+GROUP BY 1, 2
+"""
+
 QUERIES = {
     "streaming_first_seen": q_streaming_first_seen,
     "streaming_windowed_counts": q_streaming_windowed,
+    "streaming_url_consolidate": q_streaming_url_consolidate,
 }
 ORACLES = {
     "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
     "streaming_windowed_counts": ORACLE_STREAMING_WINDOWED,
+    "streaming_url_consolidate": ORACLE_STREAMING_URL_CONSOLIDATE,
 }

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StructField,
     StructType,
 )
@@ -64,6 +65,72 @@ def dedup_first_seen(
                 yield first_row
 
     return conds.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def consolidate_latest(
+    caps: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_col: str,
+) -> DataFrame:
+    """Streaming captures -> RUNNING freshest-capture view per key.
+
+    The incremental form of the batch URL-snapshot consolidation
+    (queries/webcurate.q_pages_dedup_url_latest): state per key holds
+    (n_total, max_ts, payload_at_max); every micro-batch in which a key
+    appears emits one row with the consolidated view so far.  Emission
+    count therefore depends on micro-batch boundaries — the replay gate
+    pins one file per trigger (mtime order), same contract as the
+    windowed-count gate.
+    """
+    out_schema = StructType(
+        [
+            caps.schema[key_col],
+            StructField("upto_batch", LongType()),
+            StructField("n_so_far", LongType()),
+            StructField("latest_ts", LongType()),
+            StructField("latest_payload", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_total", LongType()),
+            StructField("max_ts", LongType()),
+            StructField("payload_at_max", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, mts, pay = state.get if state.exists else (0, None, None)
+        upto = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            j = pdf[ts_col].idxmax()
+            bts, bpay = int(pdf[ts_col][j]), int(pdf[payload_col][j])
+            if mts is None or bts > mts:
+                mts, pay = bts, bpay
+            upto = int(pdf["batch_idx"].max())
+        if upto is None:
+            return
+        state.update((n, mts, pay))
+        yield pd.DataFrame(
+            [(key[0], upto, n, mts, pay)],
+            columns=[key_col, "upto_batch", "n_so_far", "latest_ts", "latest_payload"],
+        )
+
+    return caps.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
