@@ -278,27 +278,39 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("dist", "k")).alias("m"))
         .select("vec_id", F.col("m.k").alias("k"))
     )
-    av = verts.join(assign, "vec_id")
-    norms = verts.groupBy("vec_id").agg(F.sum(F.expr("qv * qv")).alias("n2"))
-    dots = (
-        av.select(F.col("vec_id").alias("vec_a"), "k", "d", F.col("qv").alias("qa"))
-        .join(
-            av.select(
-                F.col("vec_id").alias("vec_b"), "k", "d", F.col("qv").alias("qb")
-            ),
-            ["k", "d"],
+    # Per-cluster refine: one int64 Gram-matrix matmul per cluster instead of a
+    # dim-exploded pair join (the join shuffles ~|cluster|^2 * 64 rows; the
+    # matmul touches each vector once).  Quantization is identical to the SQL
+    # path (floor(double(v) * Q) as int64), so the accepted pair set is
+    # bit-identical to the oracle.  Clusters are bounded by design (SemDeDup
+    # raises K with corpus size), so each group fits one Arrow batch.
+    grp = aug.join(assign, "vec_id")
+
+    def _pairs_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.floor(
+            np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64) * _SEM_Q
+        ).astype(np.int64)
+        G = M @ M.T
+        n2 = np.diag(G)
+        ok = (G > 0) & (100 * G * G >= 81 * np.outer(n2, n2))
+        iu = np.triu_indices(len(ids), k=1)
+        m = ok[iu]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[0][m]],
+                "vec_b": ids[iu[1][m]],
+                "cluster_id": pdf["k"].iloc[0],
+            }
         )
-        .filter("vec_a < vec_b")
-        .groupBy("vec_a", "vec_b", "k")
-        .agg(F.sum(F.expr("qa * qb")).alias("dot"))
-    )
-    return (
-        dots.join(norms.withColumnRenamed("vec_id", "vec_a")
-                  .withColumnRenamed("n2", "n2a"), "vec_a")
-        .join(norms.withColumnRenamed("vec_id", "vec_b")
-              .withColumnRenamed("n2", "n2b"), "vec_b")
-        .filter("dot > 0 AND 100 * dot * dot >= 81 * n2a * n2b")
-        .select("vec_a", "vec_b", F.col("k").alias("cluster_id"))
+
+    return grp.groupBy("k").applyInPandas(
+        _pairs_kernel, schema="vec_a long, vec_b long, cluster_id long"
     )
 
 
