@@ -315,14 +315,170 @@ FROM old FULL OUTER JOIN new ON old.url = new.url
 """
 
 
+# --- docs_pack_sequences -------------------------------------------------------
+#
+# GPT-style concat-and-chunk packing: documents are concatenated in doc_id
+# order and cut into fixed CTX-token training sequences.  Everything reduces
+# to the exclusive prefix sum of per-document token counts — which must NOT
+# run as one global window (single-partition sort at 10^12 docs).  The
+# two-phase plan below is the same shape as conditions.consolidate_scalable:
+# per-bucket partial sums (bucket = doc_id DIV _PACK_BUCKET, a pure function
+# of the key, so reruns are identical at any parallelism), a tiny cumsum over
+# the bucket totals, then a within-bucket window.  The heavy window sorts
+# _PACK_BUCKET rows per bucket instead of the corpus.
+
+PACK_CTX = 2048
+_PACK_BUCKET = 1000
+
+
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    register_testdata_views(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOKS_SPARK}) AS BIGINT)").alias("n_toks"),
+        F.expr(f"doc_id DIV {_PACK_BUCKET}").alias("_b"),
+    )
+    btot = d.groupBy("_b").agg(F.sum("n_toks").alias("_bsum"))
+    boff = btot.select(
+        "_b",
+        (
+            F.sum("_bsum").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("_boff"),
+    ).fillna({"_boff": 0})
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("_local", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+        .join(F.broadcast(boff), "_b")
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("_boff") + F.col("_local")).alias("start_tok"),
+        )
+        .filter(F.col("n_toks") > 0)
+        .select(
+            "doc_id",
+            "n_toks",
+            F.expr(f"start_tok DIV {PACK_CTX}").alias("seq_id"),
+            F.expr(f"start_tok % {PACK_CTX}").alias("seq_offset"),
+            F.expr(
+                f"(start_tok + n_toks - 1) DIV {PACK_CTX}"
+                f" - start_tok DIV {PACK_CTX}"
+            ).alias("n_boundary_crossings"),
+        )
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_toks
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, n_toks,
+         COALESCE(CAST(SUM(n_toks) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS start_tok
+  FROM d
+)
+SELECT doc_id, n_toks,
+       start_tok // {PACK_CTX} AS seq_id,
+       start_tok % {PACK_CTX} AS seq_offset,
+       (start_tok + n_toks - 1) // {PACK_CTX} - start_tok // {PACK_CTX}
+         AS n_boundary_crossings
+FROM pre WHERE n_toks > 0
+"""
+
+
+# --- docs_surprisal_buckets (CCNet head/middle/tail) ----------------------------
+#
+# CCNet buckets documents per language by LM perplexity; the engine-portable
+# stand-in scores each document by mean token RARITY against the corpus's own
+# per-language term-frequency table (integer: floor(1e6 / tf) per occurrence,
+# floor-divided by token count), then cuts each language into ntile(3)
+# head/middle/tail.  The tf table broadcasts (vocabulary-sized); scoring is
+# map-side.  ntile is exact here; at 10^12 docs the cut would come from
+# approx-quantile cutoffs broadcast back, not a global sort — same output
+# rule, sampled cut points.
+
+_SURPRISAL_SCALE = 1_000_000
+
+
+def q_docs_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    register_testdata_views(spark, sf_dir)
+    toks = (
+        spark.table("documents")
+        .select("doc_id", "lang", F.explode(F.expr(_TOKS_SPARK)).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    tf = toks.groupBy("lang", "t").agg(F.count("*").alias("tf"))
+    scored = (
+        toks.join(F.broadcast(tf), ["lang", "t"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.expr(f"{_SURPRISAL_SCALE} DIV tf")).alias("_raw"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("_raw DIV n_toks").alias("rarity_score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("rarity_score", "doc_id")
+    return scored.withColumn("b", F.ntile(3).over(w)).select(
+        "doc_id",
+        "lang",
+        "rarity_score",
+        F.expr("element_at(array('head', 'middle', 'tail'), CAST(b AS INT))")
+        .alias("bucket"),
+    )
+
+
+ORACLE_SURPRISAL_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+')) AS t
+  FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE t <> ''),
+tf AS (SELECT lang, t, COUNT(*) AS tf FROM toks_ne GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(SUM({_SURPRISAL_SCALE} // tf) // COUNT(*) AS BIGINT)
+           AS rarity_score
+  FROM toks_ne JOIN tf USING (lang, t)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, rarity_score,
+       ['head', 'middle', 'tail'][
+         ntile(3) OVER (PARTITION BY lang ORDER BY rarity_score, doc_id)]
+         AS bucket
+FROM scored
+"""
+
+
 QUERIES = {
     "docs_substring_dedup": q_docs_substring_dedup,
     "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
     "pages_crawl_delta": q_pages_crawl_delta,
+    "docs_pack_sequences": q_docs_pack_sequences,
+    "docs_surprisal_buckets": q_docs_surprisal_buckets,
 }
 
 ORACLES = {
     "docs_substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "docs_bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
     "pages_crawl_delta": _oracle_crawl_delta(500),
+    "docs_pack_sequences": ORACLE_PACK_SEQUENCES,
+    "docs_surprisal_buckets": ORACLE_SURPRISAL_BUCKETS,
 }
