@@ -310,17 +310,54 @@ def q_line_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["line_id", "area_id"])
     )
 
-    verts = spark.table("geo_vlines").select(
-        "line_id", "vidx", F.col("x").alias("px"), F.col("y").alias("py")
+    # LINSIDEA needs ALL vertices inside, which requires the whole LINE bbox
+    # inside the AREA bbox — so candidate pairs are built per LINE, not per
+    # vertex (a vertex of a line that sticks out of the bbox can never be
+    # part of an all-inside pair; probing it is pure fan-out).  The line-bbox
+    # min corner is a single probe cell: when containment holds it is always
+    # covered by the area's bbox cell cover, and a single-cell probe cannot
+    # duplicate pairs.  Output-identical to the per-vertex candidate route
+    # (parity only ever fires for vertices inside the area bbox).
+    v = spark.table("geo_vlines")
+    line_bb = v.groupBy("line_id").agg(
+        F.min("x").alias("_lminx"),
+        F.max("x").alias("_lmaxx"),
+        F.min("y").alias("_lminy"),
+        F.max("y").alias("_lmaxy"),
+        F.count("*").alias("_nv"),
     )
-    inside_v = _inside_pairs(spark, edges, verts, ["line_id", "vidx"])
-    nverts = spark.table("geo_vlines").groupBy("line_id").agg(
-        F.count("*").alias("_nv")
+    area_bb = spark.table("geo_vareas").groupBy("area_id").agg(
+        F.min("x").alias("_minx"),
+        F.max("x").alias("_maxx"),
+        F.min("y").alias("_miny"),
+        F.max("y").alias("_maxy"),
+    )
+    bcells = explode_bbox_cells(area_bb, "_minx", "_maxx", "_miny", "_maxy", CELL)
+    from ..operators.pip import with_point_cell
+
+    pairs = (
+        with_point_cell(line_bb, "_lminx", "_lminy", CELL)
+        .join(bcells, "cell")
+        .filter(
+            (F.col("_lminx") >= F.col("_minx"))
+            & (F.col("_lmaxx") <= F.col("_maxx"))
+            & (F.col("_lminy") >= F.col("_miny"))
+            & (F.col("_lmaxy") <= F.col("_maxy"))
+        )
+        .select("line_id", "area_id", "_nv")
+    )
+    parity = (
+        v.select("line_id", "vidx", F.col("x").alias("px"), F.col("y").alias("py"))
+        .join(pairs, "line_id")
+        .join(edges, "area_id")
+        .withColumn("_c", F.expr(RAY_CROSS))
+        .groupBy("line_id", "area_id", "_nv", "vidx")
+        .agg(F.sum("_c").alias("_ncross"))
+        .filter(F.col("_ncross") % 2 == 1)
     )
     all_inside = (
-        inside_v.groupBy("line_id", "area_id")
+        parity.groupBy("line_id", "area_id", "_nv")
         .agg(F.count("*").alias("_nin"))
-        .join(nverts, "line_id")
         .filter(F.col("_nin") == F.col("_nv"))
         .select("line_id", "area_id")
     )
