@@ -83,6 +83,12 @@ HEADLINE = [
     "embedding_semantic_dedup",
     "docs_mixture_weights",
     "warc_scan",
+    # round-3 session-2 additions
+    "docs_substring_dedup",
+    "docs_bloom_decontaminate",
+    "pages_crawl_delta",
+    "docs_pack_sequences",
+    "docs_surprisal_buckets",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -201,11 +201,65 @@ FROM ids
 """
 
 
+# --- checkpoint_sink_roundtrip (GATED: resumable intermediate sink) ------------
+#
+# Gates plans/checkpointing.run_stage_checkpointed END-TO-END (reference:
+# extract.main.c:167 intermediate binary + GAIT_API.h:62-72 reloadable
+# report): the query simulates a CRASHED first run (only half the partition
+# keys computed), then RESUMES — the second call must skip the committed
+# partitions (manifest) and complete the rest via dynamic partition
+# overwrite.  The oracle recomputes the full per-cell rollup closed-form, so
+# any duplicate rows on resume (append instead of overwrite), lost
+# partitions, or manifest corruption flips count or hash.
+def q_checkpoint_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..plans.checkpointing import lineage, run_stage_checkpointed
+    from ..sources.fixtures import fixture_dir
+
+    register_testdata_views(spark, sf_dir)
+    out = fixture_dir(
+        "checkpoint_gate_" + sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+    df = spark.table("lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr("CAST(l_quantity * 100 AS BIGINT)").alias("qty_c"),
+        F.expr("CAST(l_orderkey % 8 AS BIGINT)").alias("cell"),
+    )
+    # crashed first run: only cells 0-3 committed
+    run_stage_checkpointed(
+        spark, "gate", df.filter(F.col("cell") < 4), "cell", out
+    )
+    assert len(lineage(out)) == 4
+    # resume: completes cells 4-7 without touching committed partitions
+    full = run_stage_checkpointed(spark, "gate", df, "cell", out)
+    return full.groupBy("cell").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("qty_c").alias("sum_qty_c"),
+    )
+
+
+# The rollup runs over the READ-BACK parquet, so a resume bug that appends
+# instead of overwriting (duplicate rows), loses a partition, or corrupts the
+# manifest flips n_rows/sum_qty_c vs the closed-form oracle.
+ORACLE_CHECKPOINT_SINK = """
+SELECT CAST(l_orderkey % 8 AS BIGINT) AS cell,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c
+FROM lineitem
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "check_role_gating": q_check_role_gating,
     "dedup_simhash": q_dedup_simhash,
     "multimodal_features": q_multimodal_features,
     "multimodal_embed": q_multimodal_embed,
+    "checkpoint_sink_roundtrip": q_checkpoint_sink_roundtrip,
 }
 
 ORACLES = {
@@ -213,4 +267,5 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_embed": ORACLE_MM_EMBED,
+    "checkpoint_sink_roundtrip": ORACLE_CHECKPOINT_SINK,
 }

@@ -343,13 +343,95 @@ FROM per p JOIN src s
 GROUP BY 1, 2
 """
 
+# --- streaming_extract_sink (GATED: foreachBatch extract -> parquet sink) ------
+#
+# Gates streaming/extract_stream.stream_extract_to_parquet end-to-end: the
+# pages corpus replayed as one parquet file per micro-batch, each batch run
+# through the SAME batched extract_features kernel inside foreachBatch and
+# appended to the features sink; the rollup over the read-back sink must
+# equal the closed-form per-fcode oracle, so a dropped batch, a double
+# append, or any extract drift flips count or coordinate sums.
+
+_EXTRACT_BATCHES = 4
+
+
+def _write_pages_stream_fixture(n: int) -> str:
+    import pandas as pd  # noqa: F401
+
+    from ..sources.fixtures import fixture_dir
+    from ..sources.pages import _page_batch
+
+    d = fixture_dir(f"pages_stream_{n}")
+    if os.path.exists(os.path.join(d, "_done")):
+        return d
+    import numpy as np
+
+    per = n // _EXTRACT_BATCHES
+    for b in range(_EXTRACT_BATCHES):
+        hi = n if b == _EXTRACT_BATCHES - 1 else (b + 1) * per
+        pdf = _page_batch(np.arange(b * per, hi, dtype=np.int64), n_total=n)
+        # micro-precision so the parquet type is TIMESTAMP(MICROS, ntz) —
+        # pandas' default ns unit reads back as a bare INT64 to Spark
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+        pdf.to_parquet(os.path.join(d, f"b{b:03d}.parquet"))
+    open(os.path.join(d, "_done"), "w").write("ok")
+    return d
+
+
+def q_streaming_extract_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..queries.nonsql import _n_pages
+    from ..sources.fixtures import fixture_dir
+    from ..streaming.extract_stream import stream_extract_to_parquet
+
+    n = _n_pages(sf_dir)
+    src = _write_pages_stream_fixture(n)
+    out = fixture_dir(f"extract_sink_{n}")
+    cp = fixture_dir(f"extract_sink_cp_{n}")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp_ntz, html binary,"
+            " text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_extract_to_parquet(stream, out, cp)
+    q.awaitTermination(300)
+    feats = spark.read.parquet(out)
+    return feats.groupBy("fcode").agg(
+        F.count("*").alias("n_feats"),
+        F.sum(F.expr("CAST(ROUND(lon * 100.0) AS BIGINT)")).alias("sum_lon_cdeg"),
+        F.sum(F.expr("CAST(ROUND(lat * 100.0) AS BIGINT)")).alias("sum_lat_cdeg"),
+    )
+
+
+def _oracle_extract_sink(n: int) -> str:
+    from .nonsql import _oracle_pages_features
+
+    return f"""
+WITH feats AS ({_oracle_pages_features(n)})
+SELECT fcode, COUNT(*) AS n_feats,
+       CAST(SUM(lon_cdeg) AS BIGINT) AS sum_lon_cdeg,
+       CAST(SUM(lat_cdeg) AS BIGINT) AS sum_lat_cdeg
+FROM feats GROUP BY 1
+"""
+
+
 QUERIES = {
     "streaming_first_seen": q_streaming_first_seen,
     "streaming_windowed_counts": q_streaming_windowed,
     "streaming_url_consolidate": q_streaming_url_consolidate,
+    "streaming_extract_sink": q_streaming_extract_sink,
 }
 ORACLES = {
     "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
     "streaming_windowed_counts": ORACLE_STREAMING_WINDOWED,
     "streaming_url_consolidate": ORACLE_STREAMING_URL_CONSOLIDATE,
+    "streaming_extract_sink": _oracle_extract_sink(500),
 }

@@ -174,6 +174,36 @@ AUDIT = {
         "note": "composed from the segment-intersection join + end-node "
         "integer tolerance, all JVM",
     },
+    "docs_substring_dedup": {
+        "want": ["HashAggregate", "Join"],
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        "note": "window explode + md5 + counts all JVM codegen; the "
+        "frequency join shuffles on the window hash (uniform key)",
+    },
+    "docs_bloom_decontaminate": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "MapInPandas", "ArrowEvalPython"],
+        "note": "bit set and benchmark shingles broadcast; the corpus side "
+        "never shuffles before the per-doc rollup",
+    },
+    "pages_crawl_delta": {
+        "want": ["MapInPandas", "SortMergeJoin|ShuffledHashJoin"],
+        "forbid": ["BatchEvalPython"],
+        "note": "batched extractor feeds narrow (url, md5) projections; the "
+        "full-outer join on url is the one shuffle",
+    },
+    "docs_pack_sequences": {
+        "want": ["Window", "BroadcastHashJoin"],
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        "note": "two-phase prefix sum: per-bucket window + broadcast bucket "
+        "offsets — no corpus-wide single-partition Window",
+    },
+    "docs_surprisal_buckets": {
+        "want": ["BroadcastHashJoin", "Window"],
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        "note": "per-lang tf table broadcast, map-side scoring; ntile window "
+        "partitions by lang",
+    },
 }
 
 
