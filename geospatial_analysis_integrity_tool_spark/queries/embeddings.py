@@ -191,11 +191,49 @@ FROM ranked WHERE rank <= {TOPK_K}
 """
 
 
+# --- ann_ivf_recall: recall@k of the IVF path vs brute force -------------------
+#
+# The eval every ANN deployment runs before trusting the approximate path:
+# per query, how many of IVF's top-k are in the EXACT top-k.  Composed from
+# the two gated queries above, so the metric itself is oracle-checked
+# end-to-end (a probe-routing or bucket-assignment bug shows up as a recall
+# change, not just a different-but-plausible neighbor list).  At 10^12
+# vectors this runs on a sampled query set; both sides are k-row-per-query
+# frames, so the join is trivially broadcastable.
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_ann_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    ivf = q_ann_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        ivf.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.expr("CAST(_hit IS NOT NULL AS BIGINT)")).alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"n_hits * 100 DIV {TOPK_K}").alias("recall_pct"),
+        )
+    )
+
+
+ORACLE_ANN_IVF_RECALL = f"""
+SELECT i.query_id,
+       CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(e.neighbor_id) * 100 // {TOPK_K} AS BIGINT) AS recall_pct
+FROM ({ORACLE_ANN_TOPK_IVF}) i
+LEFT JOIN ({ORACLE_ANN_TOPK}) e
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_topk,
     "ann_cosine_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_exact": q_embedding_near_dup_exact,
+    "ann_ivf_recall": q_ann_ivf_recall,
 }
 
 ORACLES = {
@@ -203,4 +241,5 @@ ORACLES = {
     "ann_cosine_topk_ivf": ORACLE_ANN_TOPK_IVF,
     "embedding_near_dup": ORACLE_NEAR_DUP_LSH,
     "embedding_near_dup_exact": ORACLE_NEAR_DUP,
+    "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
 }
