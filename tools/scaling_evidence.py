@@ -199,6 +199,32 @@ def _ceiling_work(_):
     return acc
 
 
+_STREAM_A = None
+
+
+def _stream_init():
+    # 160 MB per worker, written once at pool start (untimed) — defeats every
+    # cache level so the timed reads stream from DRAM.
+    global _STREAM_A
+    import numpy as np
+
+    _STREAM_A = np.empty(20_000_000)
+    _STREAM_A[:] = 1.0000001
+
+
+def _stream_warm(_):
+    return float(_STREAM_A[:100].sum())
+
+
+def _stream_sum(_):
+    # pure-read stream, no temporaries (A*k would allocate 160 MB per call
+    # and the page churn of 32 concurrent allocators swamps the signal)
+    acc = 0.0
+    for _i in range(16):
+        acc += float(_STREAM_A.sum())
+    return acc
+
+
 def machine_ceiling() -> dict:
     """All-core compute ceiling of this box: fixed numpy work per process at
     8 vs 32 concurrent processes (pure compute, no Spark).  A VM/CPU whose
@@ -207,19 +233,39 @@ def machine_ceiling() -> dict:
     raw and normalized by this ceiling."""
     import multiprocessing as mp
 
-    def throughput(nproc: int) -> float:
+    def throughput(nproc: int, fn=_ceiling_work, per: int = 3) -> float:
         t0 = time.time()
         with mp.Pool(nproc) as pool:
-            pool.map(_ceiling_work, range(nproc * 3))
-        return nproc * 3 / (time.time() - t0)
+            pool.map(fn, range(nproc * per))
+        return nproc * per / (time.time() - t0)
+
+    def stream_tp(nproc: int) -> float:
+        with mp.Pool(nproc, initializer=_stream_init) as pool:
+            pool.map(_stream_warm, range(nproc * 2))
+            t0 = time.time()
+            pool.map(_stream_sum, range(nproc * 4))
+            return nproc * 4 / (time.time() - t0)
 
     th8 = throughput(8)
     th32 = throughput(32)
+    # DRAM-bandwidth ceiling — the relevant bound for the engine's streaming
+    # Arrow kernels.  Reported as THREE interleaved trials because this VM's
+    # effective memory bandwidth swings heavily minute to minute (noisy
+    # neighbors): the spread IS the finding, a single number would overclaim.
+    stream_trials = []
+    for _t in range(3):
+        s8 = stream_tp(8)
+        s32 = stream_tp(32)
+        stream_trials.append(round(s32 / s8, 3))
+    stream_trials.sort()
     return {
         "throughput_8": round(th8, 2),
         "throughput_32": round(th32, 2),
         "ceiling_speedup": round(th32 / th8, 3),
         "ceiling_efficiency": round(th32 / th8 / 4.0, 3),
+        "stream_ceiling_trials": stream_trials,
+        "stream_ceiling_speedup": stream_trials[1],
+        "stream_ceiling_efficiency": round(stream_trials[1] / 4.0, 3),
     }
 
 
@@ -272,6 +318,9 @@ def main() -> None:
         "machine_ceiling": ceiling,
         "efficiency_vs_machine_ceiling": round(
             eff / ceiling["ceiling_efficiency"], 3
+        ),
+        "efficiency_vs_stream_ceiling": round(
+            eff / ceiling["stream_ceiling_efficiency"], 3
         ),
         "parallelism_invariant": hashes8 == hashes32,
         "runs": results,
