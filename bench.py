@@ -89,6 +89,9 @@ HEADLINE = [
     "pages_crawl_delta",
     "docs_pack_sequences",
     "docs_surprisal_buckets",
+    "ann_ivf_recall",
+    "checkpoint_sink_roundtrip",
+    "streaming_extract_sink",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec
