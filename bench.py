@@ -92,6 +92,8 @@ HEADLINE = [
     "ann_ivf_recall",
     "checkpoint_sink_roundtrip",
     "streaming_extract_sink",
+    "tokenizer_pair_stats",
+    "vocab_oov_rate",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec
