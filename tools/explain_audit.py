@@ -204,6 +204,24 @@ AUDIT = {
         "note": "per-lang tf table broadcast, map-side scoring; ntile window "
         "partitions by lang",
     },
+    "tokenizer_pair_stats": {
+        "want": ["HashAggregate"],
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        "note": "corpus reduces to (word, freq) once; pair explode runs on "
+        "the vocabulary-bounded distinct-word table",
+    },
+    "vocab_oov_rate": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "MapInPandas", "ArrowEvalPython"],
+        "note": "top-K vocab broadcast; corpus tokens never shuffle before "
+        "the per-doc rollup",
+    },
+    "ann_ivf_recall": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["BatchEvalPython"],
+        "note": "both top-k frames are k-rows-per-query; exact side "
+        "broadcast into the recall join",
+    },
 }
 
 
