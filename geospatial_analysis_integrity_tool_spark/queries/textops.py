@@ -510,10 +510,67 @@ WHERE {_BUCKET} < {_RATE_CASE}
 """
 
 
+# --- dedup_lsh_recall: MinHash-LSH candidate quality vs exact Jaccard ----------
+#
+# The eval a dedup pipeline runs before trusting banded LSH: per
+# shared-band count, how many candidate pairs are TRUE near-dups under the
+# exact (DF-capped) Jaccard >= 0.5 rule, plus the truth pairs LSH misses
+# entirely (reported as the n_shared_bands = 0 row).  Composed from the two
+# gated queries, so the metric itself is oracle-checked end-to-end; both
+# sides are pair lists, one hash join.
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = q_dedup_minhash(spark, sf_dir)
+    tj = q_dedup_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("_t")
+    )
+    by_band = (
+        mh.join(tj, ["doc_a", "doc_b"], "left")
+        .groupBy("n_shared_bands")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.expr("CAST(_t IS NOT NULL AS BIGINT)")).alias(
+                "n_true_dups"
+            ),
+        )
+        .select(
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            "n_pairs",
+            "n_true_dups",
+        )
+    )
+    missed = (
+        tj.join(mh, ["doc_a", "doc_b"], "left_anti")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.lit(0).cast("bigint").alias("n_shared_bands"),
+            "n_pairs",
+            F.col("n_pairs").alias("n_true_dups"),
+        )
+    )
+    return by_band.unionByName(missed)
+
+
+ORACLE_LSH_RECALL = f"""
+SELECT CAST(m.n_shared_bands AS BIGINT) AS n_shared_bands,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(t.doc_a) AS BIGINT) AS n_true_dups
+FROM ({ORACLE_DEDUP_MINHASH}) m
+LEFT JOIN ({ORACLE_DEDUP_JACCARD}) t
+  ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b
+GROUP BY 1
+UNION ALL
+SELECT CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM ({ORACLE_DEDUP_JACCARD}) t
+WHERE NOT EXISTS (SELECT 1 FROM ({ORACLE_DEDUP_MINHASH}) m
+                  WHERE m.doc_a = t.doc_a AND m.doc_b = t.doc_b)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
     "dedup_cluster_resolve": q_dedup_cluster_resolve,
     "docs_sample_stratified": q_docs_sample_stratified,
     "token_profile": q_token_profile,
@@ -526,6 +583,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_lsh_recall": ORACLE_LSH_RECALL,
     "dedup_cluster_resolve": ORACLE_DEDUP_CLUSTER,
     "docs_sample_stratified": ORACLE_DOCS_SAMPLE,
     "token_profile": ORACLE_TOKEN_PROFILE,
