@@ -183,3 +183,30 @@ def test_condition_shapefile_export_roundtrip(spark, tmp_path):
     assert dbf[(1, "MAGNITUDE")] == "12.345"
     assert dbf[(2, "RETAINIGN")] == "1"
     assert dbf[(1, "CODE1")] == "AP030"
+
+
+def test_cell_partitioned_scan_prunes_partitions(spark, tmp_path):
+    """The 100-TB layout contract (SCALE.md): stage outputs written
+    partitioned by the tile cell must serve spatially-scoped reads via
+    PARTITION pruning — the scan's plan lists only the selected cell
+    directories, never the full table."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "by_cell")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("feature_id"),
+        (F.col("id") % 16).alias("cell"),
+        (F.col("id") * 7 % 100).alias("payload"),
+    )
+    df.write.mode("overwrite").partitionBy("cell").parquet(out)
+
+    scan = spark.read.parquet(out).filter(F.col("cell") == 3)
+    assert scan.count() == 250
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the parquet scan must carry the cell filter as a PARTITION filter
+    # (directory-level pruning), not merely a data filter after a full read
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
