@@ -89,5 +89,94 @@ FROM txt
 """
 
 
-QUERIES = {"warc_scan": q_warc_scan}
-ORACLES: dict[str, str] = {"warc_scan": _oracle_warc_scan(500)}
+# --- warc_wet_export (WET conversion-record round trip) ------------------------
+#
+# CC distributes extracted text as WET files: one WARC "conversion" record
+# per page, text/plain payload, WARC-Refers-To the source record.  The gate
+# renders the WET record per page (distributed, from the WARC shard scan),
+# re-parses its own bytes through the container reader (framing check), and
+# hashes the WHOLE record; the DuckDB oracle rebuilds the record STRING
+# byte-for-byte closed-form — deterministic record ids (dashed md5-hex
+# uuids), the strftime date, Content-Length, CRLF framing — so one byte of
+# drift anywhere in encode or parse fails the hash.
+
+
+def q_warc_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warc import parse_warc_bytes, wet_record_bytes
+
+    n = _n_pages(sf_dir)
+    d = _ensure_warc_fixture(n)
+    recs = read_warc(spark, os.path.join(d, "*.warc"))
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            texts = extract_text_kernel(pdf["payload"])
+            out_url, out_wet, out_txt = [], [], []
+            for u, dt, t in zip(pdf["target_uri"], pdf["warc_date"], texts):
+                wet = wet_record_bytes(u, dt, t.encode("utf-8"))
+                (rec,) = parse_warc_bytes(wet)
+                if rec["warc_type"] != "conversion":
+                    raise ValueError("WET round trip lost the record type")
+                out_url.append(u)
+                out_wet.append(hashlib.md5(wet).hexdigest())
+                out_txt.append(hashlib.md5(rec["payload"]).hexdigest())
+            yield pd.DataFrame(
+                {"url": out_url, "wet_md5": out_wet, "text_md5": out_txt}
+            )
+
+    return recs.mapInPandas(
+        run, schema="url string, wet_md5 string, text_md5 string"
+    )
+
+
+def _duck_uuid(expr: str) -> str:
+    h = f"md5({expr})"
+    return (
+        f"substr({h}, 1, 8) || '-' || substr({h}, 9, 4) || '-' || "
+        f"substr({h}, 13, 4) || '-' || substr({h}, 17, 4) || '-' || "
+        f"substr({h}, 21, 12)"
+    )
+
+
+def _oracle_wet_export(n: int) -> str:
+    crlf = "chr(13) || chr(10)"
+    return f"""
+WITH txt AS ({_oracle_pages_text(n)}),
+t AS (
+  SELECT url, extracted, CAST(split_part(url, '/', 6) AS BIGINT) AS i
+  FROM txt
+),
+r AS (
+  SELECT url, extracted,
+         strftime(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 137 SECOND,
+                  '%Y-%m-%dT%H:%M:%SZ') AS d,
+         {_duck_uuid("'wet:' || url")} AS wid,
+         {_duck_uuid('url')} AS rid
+  FROM t
+),
+rec AS (
+  SELECT url, extracted,
+         'WARC/1.1' || {crlf}
+         || 'WARC-Type: conversion' || {crlf}
+         || 'WARC-Record-ID: <urn:uuid:' || wid || '>' || {crlf}
+         || 'WARC-Refers-To: <urn:uuid:' || rid || '>' || {crlf}
+         || 'WARC-Date: ' || d || {crlf}
+         || 'WARC-Target-URI: ' || url || {crlf}
+         || 'Content-Type: text/plain' || {crlf}
+         || 'Content-Length: ' || CAST(length(extracted) AS VARCHAR) || {crlf}
+         || {crlf} || extracted || {crlf} || {crlf} AS wet
+  FROM r
+)
+SELECT url, md5(wet) AS wet_md5, md5(extracted) AS text_md5 FROM rec
+"""
+
+
+QUERIES = {"warc_scan": q_warc_scan, "warc_wet_export": q_warc_wet_export}
+ORACLES: dict[str, str] = {
+    "warc_scan": _oracle_warc_scan(500),
+    "warc_wet_export": _oracle_wet_export(500),
+}

@@ -57,6 +57,24 @@ def warc_record_bytes(target_uri: str, date_iso: str, payload: bytes) -> bytes:
     return headers + payload + _CRLF + _CRLF
 
 
+def wet_record_bytes(target_uri: str, date_iso: str, text: bytes) -> bytes:
+    """WET conversion record (the CC extracted-text distribution format):
+    WARC-Type: conversion, text/plain payload, WARC-Refers-To pointing at
+    the source resource record's deterministic id."""
+    headers = (
+        b"WARC/1.1" + _CRLF
+        + b"WARC-Type: conversion" + _CRLF
+        + b"WARC-Record-ID: " + _record_id("wet:" + target_uri).encode() + _CRLF
+        + b"WARC-Refers-To: " + _record_id(target_uri).encode() + _CRLF
+        + b"WARC-Date: " + date_iso.encode() + _CRLF
+        + b"WARC-Target-URI: " + target_uri.encode() + _CRLF
+        + b"Content-Type: text/plain" + _CRLF
+        + b"Content-Length: " + str(len(text)).encode() + _CRLF
+        + _CRLF
+    )
+    return headers + text + _CRLF + _CRLF
+
+
 def write_warc(path: str, records: list[tuple[str, str, bytes]]) -> None:
     """records = [(target_uri, date_iso, payload_bytes), ...] -> one shard."""
     with open(path, "wb") as f:
