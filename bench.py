@@ -94,6 +94,7 @@ HEADLINE = [
     "streaming_extract_sink",
     "tokenizer_pair_stats",
     "vocab_oov_rate",
+    "warc_wet_export",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec
