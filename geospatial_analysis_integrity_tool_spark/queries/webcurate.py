@@ -186,10 +186,100 @@ WHERE rnk <= 5
 """
 
 
+# --- pages_robots_filter (robots.txt policy filtering) -------------------------
+#
+# Crawl pipelines re-apply robots policies before training-data use.  The
+# synthetic policy is deterministic per host shard: host h<k> fully disallows
+# when k % 5 == 2, path-blocks /de/ and /es/ when k % 3 == 1, and the rest
+# allow everything.  The op synthesizes the robots.txt TEXT per host, parses
+# Disallow lines with the generic line grammar (split + prefix match — the
+# real parser shape, not a lookup of the generation rule), and left-joins the
+# corpus against the parsed prefix rules.  Everything is whole-stage codegen;
+# the rules table is hosts-sized and broadcasts; the corpus never shuffles
+# before the per-host rollup.
+
+
+def q_pages_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _n_pages(sf_dir)
+    pages = _with_page_no(synth_pages(spark, n)).selectExpr(
+        f"'h' || (_i % {_NHOSTS}) || '.example.org' AS host",
+        "'/' || split_part(url, '/', 4) || '/page/' || _i AS path",
+    )
+    hosts = spark.range(0, _NHOSTS).selectExpr(
+        "'h' || id || '.example.org' AS host",
+        "concat_ws(chr(10), 'User-agent: *',"
+        " CASE WHEN id % 5 = 2 THEN 'Disallow: /' END,"
+        " CASE WHEN id % 3 = 1 THEN 'Disallow: /de/' END,"
+        " CASE WHEN id % 3 = 1 THEN 'Disallow: /es/' END) AS robots_txt",
+    )
+    rules = hosts.selectExpr(
+        "host",
+        "explode(filter(split(robots_txt, chr(10)),"
+        " l -> startswith(l, 'Disallow: '))) AS line",
+    ).selectExpr("host", "substring(line, 11, 10000) AS prefix")
+    marked = (
+        pages.join(F.broadcast(rules), "host", "left")
+        .selectExpr(
+            "host",
+            "path",
+            "CASE WHEN prefix IS NOT NULL AND startswith(path, prefix)"
+            " THEN 1 ELSE 0 END AS _hit",
+        )
+        .groupBy("host", "path")
+        .agg(F.max("_hit").alias("_blocked"))
+    )
+    return marked.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("_blocked").alias("n_blocked"),
+        F.expr("CAST(COUNT(*) - SUM(_blocked) AS BIGINT)").alias("n_allowed"),
+    )
+
+
+def _oracle_robots_filter(n: int) -> str:
+    return f"""
+WITH pg AS (
+  SELECT unnest(range(0, {n})) AS i
+),
+pages AS (
+  SELECT 'h' || (i % {_NHOSTS}) || '.example.org' AS host,
+         '/' || {_LANGS_SQL}[CAST(i % 4 AS INT) + 1] || '/page/' || i AS path
+  FROM pg
+),
+hosts AS (
+  SELECT 'h' || k || '.example.org' AS host,
+         concat_ws(chr(10), 'User-agent: *',
+           CASE WHEN k % 5 = 2 THEN 'Disallow: /' END,
+           CASE WHEN k % 3 = 1 THEN 'Disallow: /de/' END,
+           CASE WHEN k % 3 = 1 THEN 'Disallow: /es/' END) AS robots_txt
+  FROM (SELECT unnest(range(0, {_NHOSTS})) AS k)
+),
+rules AS (
+  SELECT host, substring(line, 11, 10000) AS prefix
+  FROM hosts,
+       LATERAL (SELECT unnest(list_filter(string_split(robots_txt, chr(10)),
+                                          l -> starts_with(l, 'Disallow: ')))
+                AS line)
+),
+marked AS (
+  SELECT p.host, p.path,
+         MAX(CASE WHEN r.prefix IS NOT NULL
+                       AND starts_with(p.path, r.prefix)
+                  THEN 1 ELSE 0 END) AS blocked
+  FROM pages p LEFT JOIN rules r ON r.host = p.host
+  GROUP BY 1, 2
+)
+SELECT host, COUNT(*) AS n_pages,
+       CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+       CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS n_allowed
+FROM marked GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_dedup_url_latest": q_pages_dedup_url_latest,
     "pages_host_stats": q_pages_host_stats,
     "docs_token_df_topk": q_docs_token_df_topk,
+    "pages_robots_filter": q_pages_robots_filter,
 }
 
 # the correctness gate runs at sf0.01 -> n = 500 (matches nonsql._n_pages)
@@ -197,4 +287,5 @@ ORACLES: dict[str, str] = {
     "pages_dedup_url_latest": _oracle_dedup_url_latest(500),
     "pages_host_stats": _oracle_host_stats(500),
     "docs_token_df_topk": ORACLE_TOKEN_DF_TOPK,
+    "pages_robots_filter": _oracle_robots_filter(500),
 }
