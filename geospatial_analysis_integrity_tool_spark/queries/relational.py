@@ -180,12 +180,87 @@ FROM flagged GROUP BY user_id
 """
 
 
+# --- events_funnel: ordered view -> click -> purchase progression ---------------
+#
+# The clickstream funnel: a user reaches stage 1 at their first 'view',
+# stage 2 at the first 'click' STRICTLY AFTER that view, stage 3 at the
+# first 'purchase' strictly after that click.  Three conditional min
+# aggregations chained by per-user joins — each stage frame is one row per
+# user, so the joins are user-keyed hash joins on already-reduced inputs
+# (the event log itself is touched exactly three times, map-side filtered
+# by event type each pass; at 10^12 events the type filter is pushed to the
+# scan and each aggregate is map-side combinable).
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    e = spark.table("events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    users = e.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .selectExpr(
+            "user_id",
+            "CAST(CASE WHEN t_v IS NOT NULL THEN 1 ELSE 0 END"
+            " + CASE WHEN t_c IS NOT NULL THEN 1 ELSE 0 END"
+            " + CASE WHEN t_p IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)"
+            " AS funnel_stage",
+        )
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_v FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_c
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_v GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_p
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_c GROUP BY 1
+)
+SELECT u.user_id,
+       CAST(CASE WHEN v.t_v IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN c.t_c IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN p.t_p IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_order_revenue": q_order_revenue,
     "q5_region_revenue": q_region_revenue,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -194,4 +269,5 @@ ORACLES = {
     "q5_region_revenue": ORACLE_Q5,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
 }
