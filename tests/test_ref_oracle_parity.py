@@ -1,0 +1,346 @@
+"""Bit-for-bit fuzz of the engine's GAIT-parity kernels against the COMPILED
+reference predicates.
+
+``tools/ref_oracle.py`` extracts the self-contained C functions from the
+reference sources (PointInsidePoly TT.c:6920, AllCaseLineSegmentsIntersect
+moregeomchecks.c:5319, Distance TT.c:7151, TruncateToNdigits utilities.c:97,
+PointOnQuarterDegreeBoundary TT.c:1400, ...), compiles them with
+``-ffp-contract=off`` into a .so and exposes them via ctypes.  Each test
+generates >= 10^5 cases (generic uniform + adversarial: exact endpoint
+sharing, collinear overlap, vertex-on-ray, quantized grids, degenerate
+segments, near-parallel dets around the reference's absolute 1e-5 cutoff)
+and asserts the numpy twins in
+``geospatial_analysis_integrity_tool_spark.functions.gait_parity`` return IDENTICAL values —
+ints exactly, doubles IEEE-equal.
+
+This retires the "oracle self-reference" caveat: the engine's geometry
+tie-breaks are now evidenced against the reference's own compiled code, not
+against DuckDB twins of our own formulas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tools import ref_oracle
+import geospatial_analysis_integrity_tool_spark.functions.gait_parity as gp
+from geospatial_analysis_integrity_tool_spark.functions.geodesy import equirect_dist_m_np, truncate3_np
+from geospatial_analysis_integrity_tool_spark.functions.geometry import pip_ray_cast, segments_intersect
+
+pytestmark = pytest.mark.skipif(
+    not ref_oracle.available(),
+    reason="reference sources or gcc not available",
+)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    o = ref_oracle.get_oracle()
+    o.xtranslation = 0.0
+    o.ytranslation = 0.0
+    o.set_euclidean(False)
+    return o
+
+
+def _ieee_equal(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    return (a == b) | (np.isnan(a) & np.isnan(b))
+
+
+def test_truncate_ndigits_bitexact(oracle):
+    rng = np.random.default_rng(20260819)
+    x = np.concatenate(
+        [
+            rng.uniform(-1e6, 1e6, 30000),
+            rng.integers(-(10**9), 10**9, 30000) / 1e5,
+            rng.uniform(-1e-3, 1e-3, 20000),
+            # 13-decimal rounding boundary cases (sprintf rounds BEFORE cut)
+            np.array(
+                [
+                    0.0099999999999995,
+                    -0.0099999999999995,
+                    2.5e-4,
+                    -2.5e-4,
+                    0.0,
+                    1.0000000000000499,
+                    999999.9999999999,
+                ]
+            ),
+        ]
+    )
+    for d in (0, 2, 3, 6):
+        mine = gp.truncate_ndigits(x, d)
+        ref = np.array([oracle.truncate_ndigits(float(v), d) for v in x])
+        assert _ieee_equal(mine, ref).all(), f"digits={d}"
+
+
+def test_distance_geodetic_bitexact(oracle):
+    rng = np.random.default_rng(1)
+    for xt, yt in [(0.0, 0.0), (12.25, -33.5), (-120.0, 45.75)]:
+        oracle.xtranslation = xt
+        oracle.ytranslation = yt
+        a = rng.uniform(-5e5, 5e5, (4, 40000))
+        a[2, :1000] = a[0, :1000]  # vertical pairs
+        a[3, 1000:2000] = a[1, 1000:2000]  # horizontal pairs
+        mine = gp.distance_gait(a[0], a[1], a[2], a[3], xt, yt)
+        ref = np.array([oracle.distance(*map(float, v)) for v in a.T])
+        assert _ieee_equal(mine, ref).all(), (xt, yt)
+    oracle.xtranslation = 0.0
+    oracle.ytranslation = 0.0
+    oracle.set_euclidean(True)
+    a = rng.uniform(-5e5, 5e5, (4, 20000))
+    mine = gp.distance_gait(a[0], a[1], a[2], a[3], euclidean=True)
+    ref = np.array([oracle.distance(*map(float, v)) for v in a.T])
+    oracle.set_euclidean(False)
+    assert _ieee_equal(mine, ref).all()
+
+
+def test_segment_distance_family_bitexact(oracle):
+    rng = np.random.default_rng(7)
+    N = 40000
+    a = rng.uniform(-5e5, 5e5, (6, N))
+    a[4, :2000] = a[2, :2000]  # degenerate segments (point)
+    a[5, :2000] = a[3, :2000]
+    a[0, 2000:4000] = a[2, 2000:4000]  # query point == endpoint 1
+    a[1, 2000:4000] = a[3, 2000:4000]
+    a[0, 4000:6000] = a[4, 4000:6000]  # query point == endpoint 2
+    a[1, 4000:6000] = a[5, 4000:6000]
+    mine = gp.point_to_line_dist2d_gait(*a)
+    ref = np.array([oracle.point_to_line_dist2d(*map(float, v)) for v in a.T])
+    assert _ieee_equal(mine, ref).all()
+
+    for slack in (0.0001, 50.0):
+        m2 = gp.point_on_line_segment_gait(*a, slack)
+        r2 = np.array(
+            [oracle.point_on_line_segment(*map(float, v), slack) for v in a.T]
+        )
+        assert (m2 == r2).all(), f"slack={slack}"
+
+    for tol in (0.0001, 100.0):
+        m3 = gp.equal_within_tolerance_gait(a[0], a[1], a[2], a[3], tol)
+        r3 = np.array(
+            [oracle.equal_within_tolerance(*map(float, v), tol) for v in a[:4].T]
+        )
+        assert (m3 == r3).all(), f"tol={tol}"
+
+
+def test_triangle_area_and_same_side_bitexact(oracle):
+    rng = np.random.default_rng(3)
+    t = rng.uniform(-1e5, 1e5, (6, 30000))
+    t[:, :1000] = np.repeat(t[:2, :1000], 3, axis=0)  # degenerate triangles
+    mine = gp.triangle_xy_surface_area_gait(*t)
+    ref = np.array(
+        [
+            oracle.triangle_xy_surface_area([v[0], v[2], v[4]], [v[1], v[3], v[5]])
+            for v in t.T
+        ]
+    )
+    assert _ieee_equal(mine, ref).all()
+
+    s = rng.uniform(-1e5, 1e5, (8, 30000))
+    s[4:6, :2000] = s[0:2, :2000]  # point ON the line
+    m2 = gp.two_points_same_side_gait(*s)
+    r2 = np.array([oracle.two_points_same_side(*map(float, v)) for v in s.T])
+    assert (m2 == r2).all()
+
+
+def _star_ring(rng, k):
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    rad = rng.uniform(10, 1000, k)
+    cx, cy = rng.uniform(-1e4, 1e4, 2)
+    return cx + rad * np.cos(ang), cy + rad * np.sin(ang)
+
+
+def test_point_inside_poly_bitexact(oracle):
+    """30k rings x 4 points = 120k cases incl. vertex-on-ray, exact-vertex,
+    quantized collinear runs and explicitly closed rings."""
+    rng = np.random.default_rng(11)
+    mismatch = 0
+    total = 0
+    for trial in range(30000):
+        k = int(rng.integers(3, 13))
+        xs, ys = _star_ring(rng, k)
+        mode = trial % 5
+        if mode == 1:  # quantize: exact equalities + horizontal collinear runs
+            xs = np.round(xs, -1)
+            ys = np.round(ys, -1)
+        if mode == 2:  # explicitly closed ring (C indexes (i+1)%numb anyway)
+            xs = np.append(xs, xs[0])
+            ys = np.append(ys, ys[0])
+            k += 1
+        vi = int(rng.integers(0, k))
+        pts = [
+            (rng.uniform(xs.min() - 50, xs.max() + 50),
+             rng.uniform(ys.min() - 50, ys.max() + 50)),
+            (rng.uniform(xs.min() - 50, xs.max() + 50), ys[vi]),  # on vertex ray
+            (xs[vi], ys[vi]),  # exact vertex
+            (xs.min() - 10.0, ys[vi]),  # west of ring, on vertex ray
+        ]
+        X = xs[None, :].repeat(len(pts), 0)
+        Y = ys[None, :].repeat(len(pts), 0)
+        px = np.array([p[0] for p in pts])
+        py = np.array([p[1] for p in pts])
+        mine = gp.point_inside_poly_gait(px, py, X, Y)
+        for i, p in enumerate(pts):
+            total += 1
+            if oracle.point_inside_poly(p[0], p[1], xs, ys) != mine[i]:
+                mismatch += 1
+    assert total >= 100000
+    assert mismatch == 0
+
+
+def test_all_case_segments_intersect_bitexact(oracle):
+    rng = np.random.default_rng(13)
+    N = 60000
+    a = rng.uniform(-5e5, 5e5, (8, N))
+    # exact shared endpoint
+    a[4, :4000] = a[0, :4000]
+    a[5, :4000] = a[1, :4000]
+    # endpoint within tolerance
+    a[4, 4000:8000] = a[0, 4000:8000] + rng.uniform(-1e-5, 1e-5, 4000)
+    a[5, 4000:8000] = a[1, 4000:8000] + rng.uniform(-1e-5, 1e-5, 4000)
+    # collinear overlap (reference returns 0 here)
+    sl = slice(8000, 12000)
+    t1 = rng.uniform(0.2, 0.4, 4000)
+    t2 = rng.uniform(0.6, 0.8, 4000)
+    a[4, sl] = a[0, sl] + t1 * (a[2, sl] - a[0, sl])
+    a[5, sl] = a[1, sl] + t1 * (a[3, sl] - a[1, sl])
+    a[6, sl] = a[0, sl] + t2 * (a[2, sl] - a[0, sl])
+    a[7, sl] = a[1, sl] + t2 * (a[3, sl] - a[1, sl])
+    # endpoint-on-interior
+    sl = slice(12000, 16000)
+    t1 = rng.uniform(0.1, 0.9, 4000)
+    a[4, sl] = a[0, sl] + t1 * (a[2, sl] - a[0, sl])
+    a[5, sl] = a[1, sl] + t1 * (a[3, sl] - a[1, sl])
+    # parallel translates
+    sl = slice(16000, 20000)
+    a[4, sl] = a[0, sl] + 7.0
+    a[5, sl] = a[1, sl] + 3.0
+    a[6, sl] = a[2, sl] + 7.0
+    a[7, sl] = a[3, sl] + 3.0
+    # short segments -> dets straddling the reference's ABSOLUTE 1e-5 cutoff
+    sl = slice(20000, 24000)
+    for i in range(4, 8):
+        a[i, sl] = a[i - 4, sl] + rng.uniform(-0.01, 0.01, 4000)
+
+    for tol in (0.0001, 5.0):
+        code, xi, yi = gp.all_case_segments_intersect_gait(*a, tol)
+        refc = np.empty(N, dtype=np.int32)
+        refx = np.empty(N)
+        refy = np.empty(N)
+        for i in range(N):
+            refc[i], refx[i], refy[i] = oracle.all_case_segments_intersect(
+                *map(float, a[:, i]), tol
+            )
+        assert (code == refc).all(), f"tol={tol}"
+        pos = code > 0
+        assert _ieee_equal(xi[pos], refx[pos]).all(), f"tol={tol}"
+        assert _ieee_equal(yi[pos], refy[pos]).all(), f"tol={tol}"
+
+
+def test_quarter_degree_boundary_bitexact(oracle):
+    rng = np.random.default_rng(17)
+    N = 40000
+    for xt, yt in [(0.0, 0.0), (-77.25, 38.5)]:
+        oracle.xtranslation = xt
+        oracle.ytranslation = yt
+        k = rng.integers(-720, 720, N)
+        py = (k * 0.25 - yt) * 100000.0 + rng.uniform(-200, 200, N)
+        px = (rng.integers(-720, 720, N) * 0.25 - xt) * 100000.0 + rng.uniform(
+            -200, 200, N
+        )
+        for tol in (0.5, 5.0, 50.0):
+            mine = gp.point_on_quarter_degree_boundary_gait(px, py, tol, xt, yt)
+            ref = np.array(
+                [
+                    oracle.point_on_quarter_degree_boundary(
+                        float(px[i]), float(py[i]), tol
+                    )
+                    for i in range(N)
+                ]
+            )
+            assert (mine == ref).all(), (xt, yt, tol)
+    oracle.xtranslation = 0.0
+    oracle.ytranslation = 0.0
+
+
+# ---------------------------------------------------------------------------
+# production-kernel agreement: the engine's fast paths vs the parity kernels
+# ---------------------------------------------------------------------------
+
+def test_production_pip_agrees_off_boundary():
+    """pip_ray_cast (half-open rule) == PointInsidePoly semantics whenever the
+    test point is not exactly on a vertex ray — the measure-zero set where the
+    C's explicit collinear-run branch takes over.  On that set the parity
+    kernel (point_inside_poly_gait) is the reference-exact path."""
+    rng = np.random.default_rng(23)
+    xs_list, ys_list, px, py = [], [], [], []
+    for _ in range(20000):
+        k = int(rng.integers(3, 13))
+        xs, ys = _star_ring(rng, k)
+        xs_list.append(xs)
+        ys_list.append(ys)
+        px.append(rng.uniform(xs.min() - 50, xs.max() + 50))
+        py.append(rng.uniform(ys.min() - 50, ys.max() + 50))
+    px = np.array(px)
+    py = np.array(py)
+    fast = pip_ray_cast(px, py, xs_list, ys_list)
+    m = max(len(a) for a in xs_list)
+    X = np.full((len(px), m), 0.0)
+    Y = np.full((len(px), m), 0.0)
+    V = np.zeros((len(px), m), dtype=bool)
+    for i, (xa, ya) in enumerate(zip(xs_list, ys_list)):
+        X[i, : len(xa)] = xa
+        Y[i, : len(xa)] = ya
+        V[i, : len(xa)] = True
+    exact = gp.point_inside_poly_gait(px, py, X, Y, V)
+    assert (fast.astype(np.int32) == exact).all()
+
+
+def test_production_distance_formula_agreement():
+    """equirect_dist_m_np reassociates GAIT's average-latitude expression
+    ((y1+y2)*0.5 vs (y2-y1)/2+y1) — same formula, different rounding path.
+    Bound the drift: relative error < 1e-12 over 10^5 random pairs."""
+    rng = np.random.default_rng(29)
+    deg = rng.uniform(-5, 5, (4, 100000))
+    fast = equirect_dist_m_np(deg[0], deg[1], deg[2], deg[3])
+    exact = gp.distance_gait(
+        deg[0] * 100000.0, deg[1] * 100000.0, deg[2] * 100000.0, deg[3] * 100000.0
+    )
+    denom = np.maximum(exact, 1e-9)
+    assert (np.abs(fast - exact) / denom < 1e-12).all()
+
+
+def test_production_truncate_agreement():
+    """truncate3_np (trunc(x*1000)/1000) vs the sprintf-exact kernel: differs
+    only when the 13-decimal rounding crosses a milli boundary; bound the
+    deviation to one milli and require agreement away from boundaries."""
+    rng = np.random.default_rng(31)
+    x = rng.uniform(-1e5, 1e5, 100000)
+    fast = truncate3_np(x)
+    exact = gp.truncate_ndigits(x, 3)
+    diff = np.abs(fast - exact)
+    assert (diff <= 0.001 + 1e-12).all()
+    frac = np.abs(x * 1000.0 - np.round(x * 1000.0))
+    off_boundary = frac > 1e-6
+    assert (diff[off_boundary] == 0.0).all()
+
+
+def test_production_segments_intersect_agreement():
+    """Orientation-test fast path vs reference ACLS on generic segments:
+    exact agreement once tolerance-snap and near-parallel cases (the
+    reference's absolute |det|<1e-5 cutoff) are filtered out."""
+    rng = np.random.default_rng(37)
+    N = 100000
+    a = rng.uniform(-5e5, 5e5, (8, N))
+    code, _, _ = gp.all_case_segments_intersect_gait(*a, 0.0001)
+    fast = segments_intersect(*a)
+    x12 = a[0] - a[2]
+    y12 = a[1] - a[3]
+    x43 = a[6] - a[4]
+    y43 = a[7] - a[5]
+    det = (x43 * y12) - (y43 * x12)
+    generic = np.abs(det) > 1e-3
+    assert (fast[generic] == (code[generic] > 0)).all()

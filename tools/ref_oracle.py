@@ -1,0 +1,343 @@
+"""Compiled-reference oracle: extract GAIT's pure C geometry predicates,
+build a shared library, and expose them via ctypes for bit-for-bit fuzzing.
+
+This is PARITY TEST INFRASTRUCTURE, not part of the engine.  At test time it
+
+1. reads the reference sources under ``/root/reference/GAIT 26 Source``
+   (override with ``$GAIT_REFERENCE_DIR``),
+2. slices out a fixed list of *self-contained* functions by brace matching
+   (PointInsidePoly TT.c:6920, AllCaseLineSegmentsIntersect
+   moregeomchecks.c:5319, Distance TT.c:7151, TriangleXYsurfaceArea
+   TT.c:6783, TruncateToNdigits utilities.c:97, PointOnQuarterDegreeBoundary
+   TT.c:1400, and their helpers),
+3. prepends a small shim (the globals the functions reference:
+   ``PI``/``WGS84degreeLength`` from TTshare.h:14 / GAIT_API.h:31, a
+   settable ``Ctype()``, ``Xtranslation``/``Ytranslation``), and
+4. compiles ``gcc -O2 -ffp-contract=off -fPIC -shared`` into a content-hashed
+   cache dir under the system temp dir.
+
+Nothing from the reference is ever written inside the repo; the .so lives in
+``$TMPDIR`` and tests skip cleanly when the reference or gcc is absent.
+
+``-ffp-contract=off`` matters: the numpy parity twins in
+``geospatial_analysis_integrity_tool_spark.functions.gait_parity`` perform the same IEEE-754
+operations in the same order, and FMA contraction on the C side would break
+the bit-for-bit comparison the fuzz tests assert.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import re
+import shutil
+import subprocess
+import tempfile
+from pathlib import Path
+
+DEFAULT_REFERENCE_DIR = "/root/reference/GAIT 26 Source"
+
+# (source file, function name) in dependency-safe order.
+_FUNCTIONS = [
+    ("utilities.c", "TruncateToNdigits"),
+    ("TT.c", "LineEquation"),
+    ("TT.c", "EuclideanDistance"),
+    ("TT.c", "Distance"),
+    ("TT.c", "TwoDecimalDistance"),
+    ("TT.c", "EqualWithinTolerance"),
+    ("TT.c", "NearlyEqual"),
+    ("TT.c", "PointToLineDist2D"),
+    ("TT.c", "PointOnLineSegment"),
+    ("TT.c", "TriangleXYsurfaceArea"),
+    ("TT.c", "PointInsidePoly"),
+    ("TT.c", "PointOnQuarterDegreeBoundary"),
+    ("moregeomchecks.c", "TwoPointsOnSameSideOfLine"),
+    ("moregeomchecks.c", "AllCaseLineSegmentsIntersect"),
+]
+
+_SHIM = """
+#include <math.h>
+#include <stdio.h>
+
+#define PIvalue 3.141592653589793
+#define WGS84degreeLength 111319.5
+
+double PI = PIvalue;
+double Xtranslation = 0.0;
+double Ytranslation = 0.0;
+int AlwaysUseEuclidean = 0;
+int RefOracleCtype = 1;
+
+int Ctype(void) { return RefOracleCtype; }
+
+double TruncateToNdigits(double x, int digits);
+void LineEquation(double x1, double y1, double x2, double y2,
+                  double *A, double *B, double *C);
+double EuclideanDistance(double x1, double y1, double x2, double y2);
+double Distance(double x1, double y1, double x2, double y2);
+double TwoDecimalDistance(double x1, double y1, double x2, double y2);
+int EqualWithinTolerance(double x1, double y1, double x2, double y2,
+                         double tolerance);
+int NearlyEqual(double v1, double v2);
+double PointToLineDist2D(double xj, double yj, double xk, double yk,
+                         double xl, double yl);
+int PointOnLineSegment(double px, double py, double x1, double y1,
+                       double x2, double y2, double slack);
+double TriangleXYsurfaceArea(double x[3], double y[3]);
+int PointInsidePoly(double px, double py, double *x, double *y, int numb);
+int PointOnQuarterDegreeBoundary(double px, double py, double tolerance);
+int TwoPointsOnSameSideOfLine(double px1, double py1, double px2, double py2,
+                              double lx1, double ly1, double lx2, double ly2);
+int AllCaseLineSegmentsIntersect(double x1, double y1, double x2, double y2,
+                                 double x3, double y3, double x4, double y4,
+                                 double tolerance, double *xi, double *yi);
+"""
+
+
+def reference_dir() -> Path:
+    return Path(os.environ.get("GAIT_REFERENCE_DIR", DEFAULT_REFERENCE_DIR))
+
+
+def available() -> bool:
+    return reference_dir().is_dir() and shutil.which("gcc") is not None
+
+
+def _extract_function(source: str, name: str) -> str:
+    """Slice one top-level C function body out of `source` by brace matching."""
+    # Definition starts at column 0 with a type, name at start-of-line or after
+    # the return type on the same/previous line; GAIT style puts the signature
+    # on one line starting at column 0.
+    pat = re.compile(
+        r"^(?:int|double|void)\s+" + re.escape(name) + r"\s*\(", re.MULTILINE
+    )
+    m = None
+    for cand in pat.finditer(source):
+        # Skip prototypes: a definition's argument list is followed by `{`,
+        # a declaration's by `;`.
+        close = source.index(")", cand.end() - 1)
+        depth = 1
+        i = cand.end()
+        while depth:
+            c = source[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        close = i
+        follow = source[close:close + 200].lstrip()
+        if follow.startswith("{"):
+            m = cand
+            break
+    if m is None:
+        raise LookupError(f"function {name} not found")
+    start = m.start()
+    brace = source.index("{", close)
+    depth = 0
+    i = brace
+    n = len(source)
+    while i < n:
+        c = source[i]
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return source[start : i + 1]
+        elif c == '"':
+            i += 1
+            while i < n and source[i] != '"':
+                i += 2 if source[i] == "\\" else 1
+        elif c == "'":
+            i += 1
+            while i < n and source[i] != "'":
+                i += 2 if source[i] == "\\" else 1
+        elif c == "/" and i + 1 < n and source[i + 1] == "*":
+            i = source.index("*/", i) + 1
+        elif c == "/" and i + 1 < n and source[i + 1] == "/":
+            i = source.index("\n", i)
+        i += 1
+    raise ValueError(f"unbalanced braces extracting {name}")
+
+
+def build_oracle_source() -> str:
+    ref = reference_dir()
+    texts: dict[str, str] = {}
+    parts = [_SHIM]
+    for fname, func in _FUNCTIONS:
+        if fname not in texts:
+            texts[fname] = (ref / fname).read_text(errors="replace")
+        parts.append(f"/* === {fname}: {func} === */")
+        parts.append(_extract_function(texts[fname], func))
+    return "\n\n".join(parts) + "\n"
+
+
+def build_shared_library() -> Path:
+    """Compile the extracted functions; returns the cached .so path."""
+    src = build_oracle_source()
+    digest = hashlib.sha256(src.encode()).hexdigest()[:16]
+    cache = Path(tempfile.gettempdir()) / f"gait_ref_oracle_{digest}"
+    so = cache / "libgaitref.so"
+    if so.exists():
+        return so
+    cache.mkdir(parents=True, exist_ok=True)
+    cfile = cache / "gaitref.c"
+    cfile.write_text(src)
+    subprocess.run(
+        [
+            "gcc",
+            "-O2",
+            "-ffp-contract=off",
+            "-fno-builtin-sprintf",
+            "-fPIC",
+            "-shared",
+            "-o",
+            str(so),
+            str(cfile),
+            "-lm",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return so
+
+
+class RefOracle:
+    """ctypes facade over the compiled reference predicates.
+
+    Coordinates are in GAIT's native frame: for geodetic data
+    ``gait = (degrees - translation) * 100000`` (TT.c:1980
+    YCoordToProjectCoord).  Set ``xtranslation``/``ytranslation`` before
+    calling; ``set_euclidean(True)`` flips Distance() to the planar branch.
+    """
+
+    def __init__(self) -> None:
+        self._lib = ctypes.CDLL(str(build_shared_library()))
+        L = self._lib
+        D = ctypes.c_double
+        I = ctypes.c_int
+        PD = ctypes.POINTER(ctypes.c_double)
+        L.TruncateToNdigits.restype = D
+        L.TruncateToNdigits.argtypes = [D, I]
+        L.Distance.restype = D
+        L.Distance.argtypes = [D, D, D, D]
+        L.TwoDecimalDistance.restype = D
+        L.TwoDecimalDistance.argtypes = [D, D, D, D]
+        L.EuclideanDistance.restype = D
+        L.EuclideanDistance.argtypes = [D, D, D, D]
+        L.EqualWithinTolerance.restype = I
+        L.EqualWithinTolerance.argtypes = [D, D, D, D, D]
+        L.PointToLineDist2D.restype = D
+        L.PointToLineDist2D.argtypes = [D, D, D, D, D, D]
+        L.PointOnLineSegment.restype = I
+        L.PointOnLineSegment.argtypes = [D, D, D, D, D, D, D]
+        L.TriangleXYsurfaceArea.restype = D
+        L.TriangleXYsurfaceArea.argtypes = [PD, PD]
+        L.PointInsidePoly.restype = I
+        L.PointInsidePoly.argtypes = [D, D, PD, PD, I]
+        L.PointOnQuarterDegreeBoundary.restype = I
+        L.PointOnQuarterDegreeBoundary.argtypes = [D, D, D]
+        L.TwoPointsOnSameSideOfLine.restype = I
+        L.TwoPointsOnSameSideOfLine.argtypes = [D] * 8
+        L.AllCaseLineSegmentsIntersect.restype = I
+        L.AllCaseLineSegmentsIntersect.argtypes = [D] * 9 + [PD, PD]
+        L.LineEquation.restype = None
+        L.LineEquation.argtypes = [D, D, D, D, PD, PD, PD]
+
+    # -- globals ------------------------------------------------------------
+    @property
+    def xtranslation(self) -> float:
+        return ctypes.c_double.in_dll(self._lib, "Xtranslation").value
+
+    @xtranslation.setter
+    def xtranslation(self, v: float) -> None:
+        ctypes.c_double.in_dll(self._lib, "Xtranslation").value = v
+
+    @property
+    def ytranslation(self) -> float:
+        return ctypes.c_double.in_dll(self._lib, "Ytranslation").value
+
+    @ytranslation.setter
+    def ytranslation(self, v: float) -> None:
+        ctypes.c_double.in_dll(self._lib, "Ytranslation").value = v
+
+    def set_euclidean(self, flag: bool) -> None:
+        ctypes.c_int.in_dll(self._lib, "AlwaysUseEuclidean").value = int(flag)
+
+    def set_ctype(self, v: int) -> None:
+        ctypes.c_int.in_dll(self._lib, "RefOracleCtype").value = v
+
+    # -- calls --------------------------------------------------------------
+    def truncate_ndigits(self, x: float, digits: int) -> float:
+        return self._lib.TruncateToNdigits(x, digits)
+
+    def distance(self, x1, y1, x2, y2) -> float:
+        return self._lib.Distance(x1, y1, x2, y2)
+
+    def two_decimal_distance(self, x1, y1, x2, y2) -> float:
+        return self._lib.TwoDecimalDistance(x1, y1, x2, y2)
+
+    def equal_within_tolerance(self, x1, y1, x2, y2, tol) -> int:
+        return self._lib.EqualWithinTolerance(x1, y1, x2, y2, tol)
+
+    def point_to_line_dist2d(self, xj, yj, xk, yk, xl, yl) -> float:
+        return self._lib.PointToLineDist2D(xj, yj, xk, yk, xl, yl)
+
+    def point_on_line_segment(self, px, py, x1, y1, x2, y2, slack) -> int:
+        return self._lib.PointOnLineSegment(px, py, x1, y1, x2, y2, slack)
+
+    def triangle_xy_surface_area(self, xs, ys) -> float:
+        ax = (ctypes.c_double * 3)(*[float(v) for v in xs])
+        ay = (ctypes.c_double * 3)(*[float(v) for v in ys])
+        return self._lib.TriangleXYsurfaceArea(ax, ay)
+
+    def point_inside_poly(self, px, py, xs, ys) -> int:
+        n = len(xs)
+        ax = (ctypes.c_double * n)(*[float(v) for v in xs])
+        ay = (ctypes.c_double * n)(*[float(v) for v in ys])
+        return self._lib.PointInsidePoly(px, py, ax, ay, n)
+
+    def point_on_quarter_degree_boundary(self, px, py, tol) -> int:
+        return self._lib.PointOnQuarterDegreeBoundary(px, py, tol)
+
+    def two_points_same_side(self, px1, py1, px2, py2, lx1, ly1, lx2, ly2) -> int:
+        return self._lib.TwoPointsOnSameSideOfLine(
+            px1, py1, px2, py2, lx1, ly1, lx2, ly2
+        )
+
+    def all_case_segments_intersect(
+        self, x1, y1, x2, y2, x3, y3, x4, y4, tolerance
+    ) -> tuple[int, float, float]:
+        xi = ctypes.c_double(0.0)
+        yi = ctypes.c_double(0.0)
+        code = self._lib.AllCaseLineSegmentsIntersect(
+            x1, y1, x2, y2, x3, y3, x4, y4, tolerance,
+            ctypes.byref(xi), ctypes.byref(yi),
+        )
+        return code, xi.value, yi.value
+
+    def line_equation(self, x1, y1, x2, y2) -> tuple[float, float, float]:
+        A = ctypes.c_double(0.0)
+        B = ctypes.c_double(0.0)
+        C = ctypes.c_double(0.0)
+        self._lib.LineEquation(
+            x1, y1, x2, y2, ctypes.byref(A), ctypes.byref(B), ctypes.byref(C)
+        )
+        return A.value, B.value, C.value
+
+
+_ORACLE: RefOracle | None = None
+
+
+def get_oracle() -> RefOracle:
+    global _ORACLE
+    if _ORACLE is None:
+        _ORACLE = RefOracle()
+    return _ORACLE
+
+
+if __name__ == "__main__":
+    o = get_oracle()
+    print("so built; PointInsidePoly unit square:", o.point_inside_poly(
+        0.5, 0.5, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]))
