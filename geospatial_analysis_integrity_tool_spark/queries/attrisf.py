@@ -1,16 +1,20 @@
-"""ISF illegal-attribute-pair matrix at the reference's full structure.
+"""ISF illegal-attribute-pair matrix at the reference's REAL size.
 
-GAIT compiles per-model N x N compatibility matrices over attribute-value
-header codes — e.g. ``TDS4_ISF_Headers[225]`` with a matrix of
-'n'/'e'/'g'/'w' cells (no-constraint / error / grave / warning),
-tds_illegals.c:16-60, consumed in interface2.c.  The round-1 subset had 3
-pairs; this check carries the REAL shape: a header vector + a dense matrix,
-broadcast in long form, joined against each feature's (row, col) value-code
-pair.
+GAIT compiles per-model N x N compatibility matrices over feature-class
+header codes — ``TDS4_ISF_Headers[225]`` with a 225x225 matrix of
+'n'/'e'/'g'/'w' cells (not-applicable / error / allowed / warning),
+tds_illegals.c:16-60, consumed row-major as ``TDS_ISF[k*N + j]`` in
+interface2.c:8051-8075.  Rounds 1-3 ran a synthesized 12x12 stand-in;
+this round carries the TRANSCRIBED production matrix
+(functions/tds_isf_table.py).
 
-The matrix here is synthesized deterministically (matrix cells from a
-residue formula) — the loader/check machinery is schema-complete, so a
-transcribed production matrix drops in without any plan change.
+Spark shape: the matrix is ONE 50,625-char string literal and each cell
+lookup is ``substring(matrix, hi*225+hj+1, 1)`` — a pure scalar
+projection, no join, no broadcast table, nothing to shuffle; at 100 TB
+the lookup rides inside whole-stage codegen on the feature scan.  The
+225-row header roster is the only (broadcast) join.  The DuckDB oracle
+embeds the SAME string literal and the SAME substring arithmetic, so
+both engines index the identical matrix.
 """
 
 from __future__ import annotations
@@ -18,46 +22,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.tds_isf_table import ISF_HEADERS, ISF_MATRIX, ISF_N
 from ..sources.synthetic import register_testdata_views
 
-#: header codes (attribute=value atoms, TDS-flavored)
-ISF_HEADERS = [
-    "BH140:RIVER", "BH140:CANAL", "AP030:ROAD", "AP030:TRACK",
-    "AL015:BUILDING", "AL015:RUIN", "AN010:RAILWAY", "AQ040:BRIDGE",
-    "AT030:POWERLINE", "GB005:AIRPORT", "FA000:BOUNDARY", "AM010:DEPOT",
-]
-
-
-def isf_matrix() -> list[tuple[int, int, str]]:
-    """Dense N x N cell codes in long form (i, j, code)."""
-    out = []
-    n = len(ISF_HEADERS)
-    for i in range(n):
-        for j in range(n):
-            r = (i * 7 + j * 11) % 13
-            code = "e" if r == 0 else "g" if r == 1 else "w" if r == 2 else "n"
-            out.append((i, j, code))
-    return out
-
-
-#: feature -> (row header, col header) value-code indexes, derived from part
-_FEAT_PAIR_SQL = """
+#: feature -> (row header, col header) class-code indexes, derived from part
+_FEAT_PAIR_SQL = f"""
 SELECT p_partkey AS feature_id,
-       CAST(p_partkey % 12 AS INT) AS hi,
-       CAST((p_partkey * 5) % 12 AS INT) AS hj
+       CAST(p_partkey % {ISF_N} AS INT) AS hi,
+       CAST((p_partkey * 5) % {ISF_N} AS INT) AS hj
 FROM part
 """
+
+
+def _cell_expr(mat_ref: str) -> str:
+    """1-char cell code at (hi, hj) — row-major, 1-based substring."""
+    return f"substring({mat_ref}, hi * {ISF_N} + hj + 1, 1)"
 
 
 def q_isf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     feats = spark.sql(_FEAT_PAIR_SQL)
-    cells = spark.createDataFrame(isf_matrix(), "hi int, hj int, code string")
     headers = spark.createDataFrame(
         list(enumerate(ISF_HEADERS)), "idx int, header string"
     )
+    lit_mat = "'" + ISF_MATRIX + "'"
     return (
-        feats.join(F.broadcast(cells), ["hi", "hj"])
+        feats.withColumn("code", F.expr(_cell_expr(lit_mat)))
         .filter(F.col("code") != "n")
         .join(
             F.broadcast(headers.selectExpr("idx AS hi", "header AS header_a")), "hi"
@@ -69,13 +59,6 @@ def q_isf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _matrix_values() -> str:
-    rows = ", ".join(
-        f"({i}, {j}, '{c}')" for i, j, c in isf_matrix() if c != "n"
-    )
-    return f"(VALUES {rows}) AS m(hi, hj, code)"
-
-
 def _header_values() -> str:
     rows = ", ".join(f"({i}, '{h}')" for i, h in enumerate(ISF_HEADERS))
     return f"(VALUES {rows}) AS h(idx, header)"
@@ -83,13 +66,16 @@ def _header_values() -> str:
 
 ORACLE_ISF_MATRIX = f"""
 WITH feats AS ({_FEAT_PAIR_SQL}),
-cells AS (SELECT * FROM {_matrix_values()}),
-headers AS (SELECT * FROM {_header_values()})
-SELECT f.feature_id, ha.header AS header_a, hb.header AS header_b, c.code
-FROM feats f
-JOIN cells c ON c.hi = f.hi AND c.hj = f.hj
-JOIN headers ha ON ha.idx = f.hi
-JOIN headers hb ON hb.idx = f.hj
+headers AS (SELECT * FROM {_header_values()}),
+coded AS (
+  SELECT feature_id, hi, hj, {_cell_expr("'" + ISF_MATRIX + "'")} AS code
+  FROM feats
+)
+SELECT c.feature_id, ha.header AS header_a, hb.header AS header_b, c.code
+FROM coded c
+JOIN headers ha ON ha.idx = c.hi
+JOIN headers hb ON hb.idx = c.hj
+WHERE c.code <> 'n'
 """
 
 QUERIES = {"isf_matrix_checks": q_isf_matrix}

@@ -1,0 +1,148 @@
+"""Transcribe the reference's public schema dimension tables into Python
+data modules (run once; the emitted modules are committed, this tool is the
+reproducible provenance).
+
+Sources (MIT-licensed public data under ``/root/reference/GAIT 26 Source``):
+
+* ``tds_illegals.c``   — TDS4_ISF_Headers[225] + the 225x225 'n/e/g/w'
+  illegal-structure-formation matrix (consumed by interface2.c:8059).
+* ``tds6_class.c``     — TDS6_class_codes[321].
+* ``tds6_attr.c``      — TDS6_attr_codes[552] + TDS6_attr_types[552].
+* ``tds6_enum.c``      — TDS6_enum_codes[7675] +
+  TDS6_attr_enum_count/start[552] (per-attribute slices).
+
+Emits:
+
+* ``geospatial_analysis_integrity_tool_spark/functions/tds_isf_table.py`` — headers + the matrix
+  as ONE 50,625-char string (row-major, ``matrix[i*225+j]``), the layout
+  the C consumer indexes directly.
+* ``geospatial_analysis_integrity_tool_spark/functions/tds6_tables.py`` — class codes, attr
+  codes/types, attr->enum-values dict (same shape as mgcp3_tables.py).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+REF = Path("/root/reference/GAIT 26 Source")
+OUT = Path("/root/repo/geospatial_analysis_integrity_tool_spark/functions")
+
+
+def _array_block(text: str, name: str) -> str:
+    m = re.search(re.escape(name) + r"\s*\[[^\]]*\]\s*=\s*\{", text)
+    if not m:
+        raise LookupError(name)
+    end = text.index("};", m.end())
+    return text[m.end() : end]
+
+
+def parse_string_array(text: str, name: str) -> list[str]:
+    block = _array_block(text, name)
+    return re.findall(r'"((?:[^"\\]|\\.)*)"', block)
+
+
+def parse_char_array(text: str, name: str) -> str:
+    block = _array_block(text, name)
+    return "".join(re.findall(r"'(.)'", block))
+
+
+def parse_int_array(text: str, name: str) -> list[int]:
+    block = _array_block(text, name)
+    block = re.sub(r"/\*.*?\*/", "", block, flags=re.S)
+    return [int(v) for v in re.findall(r"-?\d+", block)]
+
+
+def emit_isf() -> None:
+    text = (REF / "tds_illegals.c").read_text(errors="replace")
+    headers = parse_string_array(text, "TDS4_ISF_Headers")
+    matrix = parse_char_array(text, "TDS4_ISF")
+    n = len(headers)
+    assert len(matrix) == n * n, (len(headers), len(matrix))
+    assert set(matrix) <= set("negw")
+    hdr_lines = ",\n    ".join(
+        ", ".join(f"'{h}'" for h in headers[i : i + 10])
+        for i in range(0, n, 10)
+    )
+    mat_lines = "\n    ".join(
+        f'"{matrix[i:i + n]}"' for i in range(0, n * n, n)
+    )
+    out = f'''"""TDS illegal-structure-formation (ISF) matrix at REAL size.
+
+Transcribed from the reference's MIT-licensed public data table
+(tds_illegals.c:16-60: ``TDS4_ISF_Headers[225]`` + the 225x225
+``TDS4_ISF`` cell matrix; consumed row-major as ``TDS_ISF[k*N + j]`` in
+interface2.c:8051-8075).  Cell codes: 'n' = not applicable (lower
+triangle — the matrix is upper-triangular), 'e'/'w' = the class pair
+triggers an error / warning structure check, 'g' = pair allowed.
+
+Pure data, no logic.  ``ISF_MATRIX`` is one {n * n}-char string indexed
+``ISF_MATRIX[i * {n} + j]`` — exactly the C layout, so both the Spark
+plan and the DuckDB oracle can read cells with ``substring()`` instead
+of joining a {n}x{n} pair table.
+"""
+
+ISF_N = {n}
+
+ISF_HEADERS = [
+    {hdr_lines},
+]
+
+ISF_MATRIX = (
+    {mat_lines}
+)
+
+assert len(ISF_HEADERS) == ISF_N
+assert len(ISF_MATRIX) == ISF_N * ISF_N
+'''
+    (OUT / "tds_isf_table.py").write_text(out)
+    counts = {c: matrix.count(c) for c in "negw"}
+    print("tds_isf_table.py:", n, "headers,", counts)
+
+
+def emit_tds6() -> None:
+    ctext = (REF / "tds6_class.c").read_text(errors="replace")
+    atext = (REF / "tds6_attr.c").read_text(errors="replace")
+    etext = (REF / "tds6_enum.c").read_text(errors="replace")
+    classes = parse_string_array(ctext, "TDS6_class_codes")
+    attrs = parse_string_array(atext, "TDS6_attr_codes")
+    types = parse_string_array(atext, "TDS6_attr_types")
+    enum_codes = parse_string_array(etext, "TDS6_enum_codes")
+    counts = parse_int_array(etext, "TDS6_attr_enum_count")
+    starts = parse_int_array(etext, "TDS6_attr_enum_start")
+    assert len(attrs) == len(types) == len(counts) == len(starts)
+    enums: dict[str, list[str]] = {}
+    for a, c, s in zip(attrs, counts, starts):
+        if c > 0 and s >= 0:
+            enums[a] = enum_codes[s : s + c]
+    out = f'''"""TDS 6.x schema tables at REAL size ({len(classes)} feature classes,
+{len(attrs)} attributes, {len(enum_codes)} enum rows -> {len(enums)} enumerated attributes).
+
+Transcribed from the reference's MIT-licensed public data tables
+(tds6_class.c:21 TDS6_class_codes; tds6_attr.c:20 TDS6_attr_codes /
+:1130 TDS6_attr_types; tds6_enum.c:20 TDS6_enum_codes +
+:15376 TDS6_attr_enum_count / :15931 TDS6_attr_enum_start).
+Pure data, no logic — the second full-size domain volume (after MGCP
+TRD3, functions/mgcp3_tables.py) for the ATTR_* conformance family.
+"""
+
+CLASS_CODES = {classes!r}
+
+ATTR_CODES = {attrs!r}
+
+ATTR_TYPES = {types!r}
+
+ATTR_ENUMS = {enums!r}
+'''
+    (OUT / "tds6_tables.py").write_text(out)
+    print(
+        "tds6_tables.py:",
+        len(classes), "classes,", len(attrs), "attrs,",
+        sum(len(v) for v in enums.values()), "enum values over",
+        len(enums), "attrs",
+    )
+
+
+if __name__ == "__main__":
+    emit_isf()
+    emit_tds6()
