@@ -119,6 +119,44 @@ def mark_ignored(new: DataFrame, prior: DataFrame, identity_keys: list[str]) -> 
     )
 
 
+def with_labels(conditions: DataFrame, model: str = "MGCP3") -> DataFrame:
+    """Populate LABEL1/LABEL2 — the human-readable class names for
+    code1/code2 (GetECCLabel, share_linux.h:1066 / gifd_functionality.c:83,
+    indexing the active model's class-name table).
+
+    Broadcast left-joins the transcribed label table
+    (functions/schema_labels.py): known code -> its name, unknown code ->
+    'Error' (the reference's out-of-range convention), NULL code -> ''
+    (field left blank, as for one-participant conditions).
+    """
+    from .functions.schema_labels import LABELS
+
+    spark = conditions.sparkSession
+    rows = list(LABELS.get(model, {}).get("class", {}).items())
+    lab = F.broadcast(
+        spark.createDataFrame(rows, "code string, label string")
+    )
+    out = conditions
+    for i in (1, 2):
+        if f"code{i}" not in out.columns:
+            continue
+        out = (
+            out.join(
+                lab.selectExpr(f"code AS code{i}", f"label AS _l{i}"),
+                f"code{i}",
+                "left",
+            )
+            .withColumn(
+                f"label{i}",
+                F.when(F.col(f"code{i}").isNull(), F.lit("")).otherwise(
+                    F.coalesce(F.col(f"_l{i}"), F.lit("Error"))
+                ),
+            )
+            .drop(f"_l{i}")
+        )
+    return out
+
+
 def summary_report(conditions: DataFrame) -> DataFrame:
     """WriteSummaryReport (interface.c:19527) rollup."""
     return (
@@ -135,6 +173,7 @@ def export_condition_shapefiles(
     conditions: DataFrame,
     out_dir: str,
     name: str = "conditions",
+    model: str = "MGCP3",
 ) -> dict[str, int]:
     """Write GAIT-style condition shapefiles: ``<name>PT.shp/.dbf`` for point
     conditions and ``<name>LN.shp/.dbf`` for line conditions
@@ -161,7 +200,21 @@ def export_condition_shapefiles(
         ShpStreamWriter,
     )
 
+    from .functions.schema_labels import LABELS
+
     os.makedirs(out_dir, exist_ok=True)
+    if "label1" not in conditions.columns:
+        conditions = with_labels(conditions, model=model)
+    for i in (1, 2):
+        if f"label{i}" not in conditions.columns:
+            conditions = conditions.withColumn(f"label{i}", F.lit(""))
+    # LABEL field width is dynamic in the reference (MaxNam2/3LenFound,
+    # SEEIT_API.c:11357-11390) — size to the model's longest class name
+    lab_w = max(
+        (len(v) for v in LABELS.get(model, {}).get("class", {}).values()),
+        default=5,
+    )
+    lab_w = max(lab_w, len("Error"))
     fields = [
         ("ERRTYPE", "C", 10, 0),
         ("MAGNITUDE", "N", 12, 3),
@@ -169,6 +222,8 @@ def export_condition_shapefiles(
         ("COND_NUM", "N", 9, 0),
         ("CODE1", "C", 6, 0),
         ("CODE2", "C", 6, 0),
+        ("LABEL1", "C", lab_w, 0),
+        ("LABEL2", "C", lab_w, 0),
         ("SEDRISID", "C", 20, 0),
         ("ANNOTATION", "C", 24, 0),
         ("ATTRSCHEMA", "C", 10, 0),
@@ -183,6 +238,8 @@ def export_condition_shapefiles(
             int(r["cond_num"]),
             r["code1"] or "",
             r["code2"] or "",
+            r["label1"] or "",
+            r["label2"] or "",
             str(r["sedrisid"] or ""),
             str(r["annotation"] or ""),
             str(r["attrschema"] or ""),

@@ -129,5 +129,44 @@ SELECT errtype, 1 AS instance,
 FROM dedup
 """
 
-QUERIES = {"conditions_pipeline": q_conditions_pipeline}
-ORACLES = {"conditions_pipeline": ORACLE_CONDITIONS_PIPELINE}
+def q_conditions_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition report with populated LABEL1 — the GetECCLabel lookup
+    (share_linux.h:1066) over the transcribed MGCP3 class-name table
+    (functions/schema_labels.py), broadcast-joined onto the pipeline output.
+    """
+    from ..conditions import with_labels
+
+    conds = q_conditions_pipeline(spark, sf_dir)
+    return with_labels(conds, model="MGCP3").select(
+        "errtype", "cond_num", "code1", "label1"
+    )
+
+
+def _label_values() -> str:
+    from ..functions.schema_labels import LABELS
+
+    rows = ", ".join(
+        "('{}', '{}')".format(c, n.replace("'", "''"))
+        for c, n in sorted(LABELS["MGCP3"]["class"].items())
+    )
+    return f"(VALUES {rows}) AS lab(code, label)"
+
+
+ORACLE_CONDITIONS_LABELS = f"""
+WITH pipeline AS ({ORACLE_CONDITIONS_PIPELINE}),
+labels AS (SELECT * FROM {_label_values()})
+SELECT p.errtype, p.cond_num, p.code1,
+       CASE WHEN p.code1 IS NULL THEN ''
+            ELSE COALESCE(l.label, 'Error') END AS label1
+FROM pipeline p
+LEFT JOIN labels l ON l.code = p.code1
+"""
+
+QUERIES = {
+    "conditions_pipeline": q_conditions_pipeline,
+    "conditions_labels": q_conditions_labels,
+}
+ORACLES = {
+    "conditions_pipeline": ORACLE_CONDITIONS_PIPELINE,
+    "conditions_labels": ORACLE_CONDITIONS_LABELS,
+}

@@ -183,6 +183,18 @@ def test_condition_shapefile_export_roundtrip(spark, tmp_path):
     assert dbf[(1, "MAGNITUDE")] == "12.345"
     assert dbf[(2, "RETAINIGN")] == "1"
     assert dbf[(1, "CODE1")] == "AP030"
+    # LABEL1/LABEL2 populated from the transcribed GetECCLabel table
+    # (schema_labels.py): known code -> class name, NULL code -> blank
+    assert dbf[(1, "LABEL1")] == "Road"
+    assert dbf[(1, "LABEL2")] == ""
+    assert dbf[(2, "LABEL1")] == "Error"  # FA000 not an MGCP3 class
+    assert dbf[(2, "LABEL2")] == "Building"
+    lndbf = {
+        (r.recno, r.attr): r.value
+        for r in read_dbf(spark, out + "/gaitLN.dbf").collect()
+    }
+    assert lndbf[(1, "LABEL1")] == "Power Line"
+    assert lndbf[(1, "LABEL2")] == "Railway"
 
 
 def test_cell_partitioned_scan_prunes_partitions(spark, tmp_path):

@@ -143,6 +143,58 @@ ATTR_ENUMS = {enums!r}
     )
 
 
+def emit_labels() -> None:
+    """ECC/EAC label tables (GetECCLabel/GetEACLabel, share_linux.h:1066;
+    gifd_functionality.c:83/:107 index the active model's class/attr NAME
+    arrays) — emitted as code->name dicts per model."""
+    pairs = {}
+    for model, cfile, afile, prefix in (
+        ("MGCP3", "mgcp3_class.c", "mgcp3_attr.c", "MGCP3"),
+        ("TDS6", "tds6_class.c", "tds6_attr.c", "TDS6"),
+    ):
+        ctext = (REF / cfile).read_text(errors="replace")
+        atext = (REF / afile).read_text(errors="replace")
+        ccodes = parse_string_array(ctext, f"{prefix}_class_codes")
+        cnames = parse_string_array(ctext, f"{prefix}_class_names")
+        acodes = parse_string_array(atext, f"{prefix}_attr_codes")
+        anames = parse_string_array(atext, f"{prefix}_attr_names")
+        assert len(ccodes) == len(cnames) and len(acodes) == len(anames)
+        pairs[model] = {
+            "class": dict(zip(ccodes, cnames)),
+            "attr": dict(zip(acodes, anames)),
+        }
+    out = f'''"""ECC/EAC human-readable label tables (condition-report LABEL1/LABEL2).
+
+Transcribed from the reference's MIT-licensed public data tables: the
+class/attr NAME arrays the ``GetECCLabel``/``GetEACLabel`` accessors index
+(share_linux.h:1066-1085; gifd_functionality.c:83,:107; mgcp3_class.c:209
+MGCP3_class_names; mgcp3_attr.c:192 MGCP3_attr_names; tds6_class.c:345
+TDS6_class_names; tds6_attr.c:575 TDS6_attr_names).  Pure data keyed by
+code (order-independent), per schema model.
+"""
+
+LABELS = {pairs!r}
+
+
+def ecc_label(model: str, fcode: str) -> str:
+    """Class label for a feature code (GetECCLabel semantics: unknown code
+    -> 'Error', the reference's out-of-range convention)."""
+    return LABELS.get(model, {{}}).get("class", {{}}).get(fcode, "Error")
+
+
+def eac_label(model: str, attr: str) -> str:
+    """Attribute label for an attr code (GetEACLabel semantics)."""
+    return LABELS.get(model, {{}}).get("attr", {{}}).get(attr, "Error")
+'''
+    (OUT / "schema_labels.py").write_text(out)
+    for model, t in pairs.items():
+        print(
+            f"schema_labels.py[{model}]:",
+            len(t["class"]), "class labels,", len(t["attr"]), "attr labels",
+        )
+
+
 if __name__ == "__main__":
     emit_isf()
     emit_tds6()
+    emit_labels()
