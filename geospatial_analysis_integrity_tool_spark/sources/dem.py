@@ -277,9 +277,157 @@ def read_dted(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(run, schema=DTED_SCHEMA)
 
 
-# --- GeoTIFF (uncompressed core; TIFF 6.0 + GeoTIFF spec) ----------------------
+# --- GeoTIFF (TIFF 6.0 + GeoTIFF spec; uncompressed, PackBits, LZW) ------------
 
 _TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+
+COMPRESSION_NONE = 1
+COMPRESSION_LZW = 5
+COMPRESSION_PACKBITS = 32773
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: runs of 2-128 equal bytes -> (257-n, byte);
+    literal spans of 1-128 -> (n-1, bytes)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # measure run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        # literal span until next run of >= 3 (a 2-run inside a literal is
+        # cheaper kept literal) or 128 bytes
+        lit = i
+        while j < n and j - lit < 128:
+            k = j + 1
+            while k < n and k - j < 128 and data[k] == data[j]:
+                k += 1
+            if k - j >= 3:
+                break
+            j = k
+        j = min(j, lit + 128)
+        out.append(j - lit - 1)
+        out.extend(data[lit:j])
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:  # literal: next b+1 bytes
+            out.extend(data[i : i + b + 1])
+            i += b + 1
+        elif b > 128:  # run: next byte repeated 257-b times
+            out.extend(data[i : i + 1] * (257 - b))
+            i += 1
+        # b == 128: noop
+    return bytes(out)
+
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW with the standard "early change" code-width switch
+    (width increments when the next code reaches 2^width - 1, as libtiff
+    writes).  MSB-first bit packing."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(_LZW_CLEAR, width)
+    prefix = b""
+    for byte in data:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        put(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: clear and restart
+            put(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prefix = bytes([byte])
+    if prefix:
+        put(table[prefix], width)
+    put(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table")
+        out.extend(entry)
+        prev = entry
+        # the decoder's table lags the encoder's by one entry, so the
+        # early-change width switch lands at 2^w - 2 here (libtiff's
+        # maxcode convention), matching the encoder's switch at 2^w - 1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
 
 
 def write_geotiff(
@@ -289,19 +437,37 @@ def write_geotiff(
     y0: float,
     cellsize: float,
     rows_per_strip: int = 16,
+    compression: str = "none",  # "none" | "packbits" | "lzw"
+    predictor: int = 1,  # 1 = none, 2 = horizontal differencing (w/ lzw)
 ) -> None:
-    """Minimal uncompressed single-band int16 GeoTIFF (little-endian):
-    baseline dims/strip tags + ModelPixelScale + ModelTiepoint."""
+    """Minimal single-band int16 GeoTIFF (little-endian): baseline
+    dims/strip tags + ModelPixelScale + ModelTiepoint; strips optionally
+    PackBits- or LZW-compressed (TIFF 6.0 §9/§13), LZW optionally with the
+    horizontal-differencing predictor (tag 317 = 2) on int16 samples."""
     nrows, ncols = elevs_sw_rowmajor.shape
     grid_ns = elevs_sw_rowmajor[::-1].astype("<i2")  # TIFF row 0 = NORTH
+    if predictor == 2:
+        grid_ns = grid_ns.astype(np.int16).copy()
+        grid_ns[:, 1:] = grid_ns[:, 1:] - grid_ns[:, :-1]
+        grid_ns = grid_ns.astype("<i2")
+    comp_tag = {
+        "none": COMPRESSION_NONE,
+        "packbits": COMPRESSION_PACKBITS,
+        "lzw": COMPRESSION_LZW,
+    }[compression]
+    codec = {
+        "none": lambda b: b,
+        "packbits": packbits_encode,
+        "lzw": lzw_encode,
+    }[compression]
     strips = [
-        grid_ns[r : r + rows_per_strip].tobytes()
+        codec(grid_ns[r : r + rows_per_strip].tobytes())
         for r in range(0, nrows, rows_per_strip)
     ]
     n_strips = len(strips)
 
     # layout: header(8) | IFD | tag overflow arrays | strip data
-    n_tags = 12
+    n_tags = 12 + (1 if predictor == 2 else 0)
     ifd_off = 8
     ifd_size = 2 + n_tags * 12 + 4
     aux_off = ifd_off + ifd_size
@@ -327,7 +493,7 @@ def write_geotiff(
     entries.append((256, 4, 1, ncols))   # ImageWidth
     entries.append((257, 4, 1, nrows))   # ImageLength
     entries.append((258, 3, 1, 16))      # BitsPerSample
-    entries.append((259, 3, 1, 1))       # Compression = none
+    entries.append((259, 3, 1, comp_tag))  # Compression
     entries.append((262, 3, 1, 1))       # Photometric = BlackIsZero
     # StripOffsets (patched after aux is final)
     strip_off_entry_idx = len(entries)
@@ -344,6 +510,8 @@ def write_geotiff(
             (279, 4, n_strips, aux_put(struct.pack(f"<{n_strips}I", *strip_counts)))
         )
     entries.append((339, 3, 1, 2))       # SampleFormat = signed int
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))   # Predictor = horizontal differencing
     val_or_off(
         33550, 12, 3, struct.pack("<3d", cellsize, cellsize, 0.0), None
     )  # ModelPixelScale
@@ -410,19 +578,32 @@ def parse_geotiff_bytes(data: bytes, source: str) -> pd.DataFrame:
 
     ncols = int(read_values(256)[0])
     nrows = int(read_values(257)[0])
-    if 259 in tags and int(read_values(259)[0]) != 1:
+    comp = int(read_values(259)[0]) if 259 in tags else COMPRESSION_NONE
+    if comp == COMPRESSION_NONE:
+        codec = lambda b: b
+    elif comp == COMPRESSION_PACKBITS:
+        codec = packbits_decode
+    elif comp == COMPRESSION_LZW:
+        codec = lzw_decode
+    else:
         raise ValueError(
-            f"{source}: compressed TIFF (compression="
-            f"{int(read_values(259)[0])}) needs codec libraries"
+            f"{source}: unsupported TIFF compression {comp}"
+            " (supported: none, PackBits, LZW)"
         )
     strip_offs = [int(v) for v in read_values(273)]
     strip_counts = [int(v) for v in read_values(279)]
     raw = b"".join(
-        data[o : o + c] for o, c in zip(strip_offs, strip_counts)
+        codec(data[o : o + c]) for o, c in zip(strip_offs, strip_counts)
     )
     grid_ns = np.frombuffer(raw, dtype=bo + "i2", count=ncols * nrows).reshape(
         nrows, ncols
     )
+    if 317 in tags and int(read_values(317)[0]) == 2:
+        # horizontal differencing predictor: un-apply by row cumsum (int16
+        # wraparound semantics preserved by staying in int16)
+        grid_ns = np.cumsum(grid_ns.astype(np.int64), axis=1).astype(
+            np.int16
+        )
     scale = read_values(33550)
     tie = read_values(33922)
     cellsize = float(scale[0])

@@ -159,12 +159,67 @@ def test_geotiff_roundtrip_bigendian_rejects_compressed():
     assert (row.ncols, row.nrows) == (3, 2)
     assert (row.x0, row.y0, row.cellsize) == (20.0, 50.0, 0.0125)
     assert list(row.elevs) == [-700.0, 0.0, 5.0, 100.0, 2299.0, -1.0]
-    # compression tag other than 1 must be refused, not mis-decoded
+    # unsupported compression must be refused, not mis-decoded
     data = bytearray(open(p, "rb").read())
     n_tags = struct.unpack("<H", data[8:10])[0]
     for i in range(n_tags):
         off = 10 + 12 * i
         if struct.unpack("<H", data[off : off + 2])[0] == 259:
-            data[off + 8 : off + 12] = struct.pack("<I", 5)  # pretend LZW
-    with _pytest.raises(ValueError, match="compressed"):
+            data[off + 8 : off + 12] = struct.pack("<I", 8)  # Deflate
+    with _pytest.raises(ValueError, match="unsupported"):
         parse_geotiff_bytes(bytes(data), "t")
+
+
+def test_geotiff_packbits_lzw_roundtrip():
+    """TIFF 6.0 §9 PackBits + §13 LZW (early-change, horizontal predictor):
+    codec fuzz inverses plus full GeoTIFF write->parse round trips."""
+    import numpy as np
+
+    from geospatial_analysis_integrity_tool_spark.sources.dem import (
+        lzw_decode,
+        lzw_encode,
+        packbits_decode,
+        packbits_encode,
+        parse_geotiff_bytes,
+        write_geotiff,
+    )
+    import os, tempfile
+
+    rng = np.random.default_rng(5)
+    cases = [
+        b"",
+        b"\x00" * 1000,
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+        bytes(rng.integers(0, 4, 20000, dtype=np.uint8)),
+        bytes(
+            np.repeat(
+                rng.integers(0, 256, 50, dtype=np.uint8),
+                rng.integers(1, 300, 50),
+            )
+        ),
+        # long stream: forces LZW width growth to 12 bits and table clears
+        bytes(rng.integers(0, 256, 300000, dtype=np.uint8)),
+    ]
+    for c in cases:
+        assert packbits_decode(packbits_encode(c)) == c
+        assert lzw_decode(lzw_encode(c)) == c
+
+    grid = (
+        (np.arange(40)[:, None] * 104729 + np.arange(40)[None, :] * 7919)
+        % 3000
+        - 700
+    ).astype(np.int16)
+    for compression, predictor in [
+        ("packbits", 1),
+        ("lzw", 1),
+        ("lzw", 2),
+    ]:
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "t.tif")
+            write_geotiff(
+                p, grid, 20.0, 50.0, 0.0125, rows_per_strip=7,
+                compression=compression, predictor=predictor,
+            )
+            row = parse_geotiff_bytes(open(p, "rb").read(), p).iloc[0]
+            got = np.array(row.elevs).reshape(40, 40)
+            assert (got == grid).all(), (compression, predictor)
