@@ -254,11 +254,68 @@ GROUP BY 1
 """
 
 
+# --- multimodal_decode (GATED: FULL sample decode round trip) ------------------
+#
+# The formerly-stubbed step (round-3 "missing #5"): every payload in the
+# decode fixture is a REAL container — PNG with zlib-deflated RGB rows
+# cycling through all five PNG filter types, WAV with real PCM16 samples,
+# BMP with bottom-up padded BGR rows.  The kernel inflates/unfilters/
+# unpacks and reduces to integer decode facts; the oracle re-derives them
+# from the generating formulas by unnesting pixel/sample ranges — any codec
+# bit error (filter math, row padding, endianness, channel order) flips the
+# sum/min/max hash.
+
+MM_DECODE_N = 300
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.multimodal import decode_media, synth_decode_media
+
+    return decode_media(synth_decode_media(spark, MM_DECODE_N)).select(
+        "media_id", "fmt", "n_values", "value_sum", "value_min", "value_max"
+    )
+
+
+ORACLE_MM_DECODE = f"""
+WITH ids AS (SELECT unnest(range(0, {MM_DECODE_N})) AS i),
+dims AS (
+  SELECT i,
+         CASE WHEN i % 3 = 0 THEN 'png'
+              WHEN i % 3 = 1 THEN 'wav' ELSE 'bmp' END AS fmt,
+         8 + (i * 7) % 32 AS w,
+         8 + (i * 11) % 32 AS h,
+         100 + i % 50 AS ns
+  FROM ids
+),
+img AS (
+  SELECT d.i, d.fmt, ((x.x * 7 + y.y * 13 + c.c * 29) % 256) AS v
+  FROM dims d,
+       (SELECT unnest(range(0, 40)) AS x) x,
+       (SELECT unnest(range(0, 40)) AS y) y,
+       (SELECT unnest(range(0, 3)) AS c) c
+  WHERE d.fmt <> 'wav' AND x.x < d.w AND y.y < d.h
+),
+au AS (
+  SELECT d.i, d.fmt, (((s.s * 2654435761) % 65536) - 32768) AS v
+  FROM dims d, (SELECT unnest(range(0, 150)) AS s) s
+  WHERE d.fmt = 'wav' AND s.s < d.ns
+),
+allv AS (SELECT * FROM img UNION ALL SELECT * FROM au)
+SELECT CAST(i AS BIGINT) AS media_id, fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(v) AS BIGINT) AS value_sum,
+       CAST(MIN(v) AS BIGINT) AS value_min,
+       CAST(MAX(v) AS BIGINT) AS value_max
+FROM allv GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "check_role_gating": q_check_role_gating,
     "dedup_simhash": q_dedup_simhash,
     "multimodal_features": q_multimodal_features,
     "multimodal_embed": q_multimodal_embed,
+    "multimodal_decode": q_multimodal_decode,
     "checkpoint_sink_roundtrip": q_checkpoint_sink_roundtrip,
 }
 
@@ -267,5 +324,6 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_embed": ORACLE_MM_EMBED,
+    "multimodal_decode": ORACLE_MM_DECODE,
     "checkpoint_sink_roundtrip": ORACLE_CHECKPOINT_SINK,
 }

@@ -56,9 +56,14 @@ def test_multimodal_plumbing(spark):
     for r in feats[:10]:
         assert r.n_bytes >= 32 and len(r.embedding) == 8
         assert r.thumb_w <= 128 and r.thumb_h <= 128
-    # decode is explicitly stubbed (no codec libs in this container)
-    with pytest.raises(NotImplementedError):
-        decode_media(media, real=True)
+    # full decode is real now: WAV payloads decode; JPEG entropy / stub-IDAT
+    # PNGs and opaque video bytes report decodable=false (explicit boundary)
+    dec = {r.media_id: r for r in decode_media(media).collect()}
+    for mid, r in dec.items():
+        if r.fmt == "wav":
+            assert r.decodable and r.n_values == 100 + mid % 50
+        elif r.fmt == "unknown":
+            assert not r.decodable
     # determinism across partitioning
     f2 = extract_media_features(synth_media(spark, 60, partitions=7)).collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, f2))
@@ -100,13 +105,44 @@ def test_media_header_parsers_roundtrip():
     assert parse_media_header(b"\x00" * 32)[0] == "unknown"
 
 
-def test_media_decode_still_raises_for_full_decode(spark):
-    import pytest as _pytest
+def test_media_decode_fixture_fully_decodable(spark):
+    """The decode fixture's payloads all decode for real: counts and sums
+    match the generating formulas per media id."""
+    import numpy as np
 
     from geospatial_analysis_integrity_tool_spark.sources.multimodal import (
         decode_media,
-        synth_media,
+        media_pcm_samples,
+        media_pixel_grid,
+        synth_decode_media,
     )
 
-    with _pytest.raises(NotImplementedError):
-        decode_media(synth_media(spark, 5), real=True)
+    rows = {r.media_id: r for r in decode_media(synth_decode_media(spark, 12)).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        assert r.decodable, (i, r.fmt)
+        w = 8 + (i * 7) % 32
+        h = 8 + (i * 11) % 32
+        if r.fmt == "wav":
+            s = media_pcm_samples(100 + i % 50).astype(np.int64)
+            assert (r.n_values, r.value_sum) == (len(s), int(s.sum()))
+        else:
+            g = media_pixel_grid(w, h).astype(np.int64)
+            assert (r.n_values, r.value_sum) == (g.size, int(g.sum()))
+
+
+def test_media_full_decode_roundtrip():
+    """PNG (all five filter types), BMP (bottom-up padded BGR), WAV PCM16:
+    encode -> decode recovers the exact generating arrays."""
+    import numpy as np
+
+    from geospatial_analysis_integrity_tool_spark.sources import multimodal as mm
+
+    for w, h in [(8, 8), (13, 9), (40, 27), (32, 5)]:
+        g = mm.media_pixel_grid(w, h)
+        assert (mm.decode_png_pixels(mm.png_bytes(w, h)) == g).all()
+        assert (mm.decode_bmp_pixels(mm.bmp_bytes(w, h)) == g).all()
+    for n in (1, 100, 149):
+        s = mm.media_pcm_samples(n)
+        assert (mm.decode_wav_samples(mm.wav_bytes(8000, n)) == s).all()
+    assert mm.parse_media_header(mm.bmp_bytes(13, 9))[:3] == ("bmp", 13, 9)
