@@ -95,6 +95,14 @@ HEADLINE = [
     "tokenizer_pair_stats",
     "vocab_oov_rate",
     "warc_wet_export",
+    # round-4 additions: real-size schema tables, codecs, UTM, full decode
+    "isf_matrix_checks",
+    "attr_tds6_domains",
+    "conditions_labels",
+    "dem_geotiff_compressed_stats",
+    "utm_ingest_geodetic",
+    "utm_pip_join",
+    "multimodal_decode",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec
@@ -141,11 +149,16 @@ def main() -> None:
     spark.range(0, 1024, 1, 64).mapInPandas(lambda it: it, schema="id long").count()
 
     qs = entrymod.queries()
+    # optional subset (e.g. the sf1 stress snapshot): comma-separated names
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    headline = (
+        [q for q in subset.split(",") if q] if subset else list(HEADLINE)
+    )
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     spatial_time = 0.0
     sc = spark.sparkContext
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         t0 = time.time()
         rows[name] = fn(spark, sf_dir).count()

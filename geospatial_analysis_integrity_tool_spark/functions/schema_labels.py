@@ -1,14 +1,35 @@
 """ECC/EAC human-readable label tables (condition-report LABEL1/LABEL2).
 
-Transcribed from the reference's MIT-licensed public data tables: the
-class/attr NAME arrays the ``GetECCLabel``/``GetEACLabel`` accessors index
-(share_linux.h:1066-1085; gifd_functionality.c:83,:107; mgcp3_class.c:209
-MGCP3_class_names; mgcp3_attr.c:192 MGCP3_attr_names; tds6_class.c:345
-TDS6_class_names; tds6_attr.c:575 TDS6_attr_names).  Pure data keyed by
-code (order-independent), per schema model.
+The class/attr NAME tables the ``GetECCLabel``/``GetEACLabel`` accessors
+index (share_linux.h:1066-1085; gifd_functionality.c:83,:107).  Backed by
+the full 16-model transcription in :mod:`.schema_models` (round 4 widened
+this from MGCP3+TDS6 to every model), keyed by code (order-independent).
 """
 
-LABELS = {'MGCP3': {'class': {'GB005': 'Aerodrome', 'GA035': 'Aeronautical NAVAID', 'GB220': 'Air Obstruction', 'GB050': 'Aircraft Revetment', 'GB010': 'Airport Navigation Lights', 'AK030': 'Amusement Park', 'GB015': 'Apron', 'BH010': 'Aqueduct', 'AL012': 'Archeological Site', 'BA050': 'Beach', 'BB190': 'Berthing Structure', 'BH015': 'Bog', 'BB041': 'Breakwater', 'AQ040': 'Bridge', 'AQ045': 'Bridge Span', 'AL015': 'Building', 'AL020': 'Built-Up Area', 'AT041': 'Cableway', 'AL025': 'Cairn', 'AK060': 'Camp-site', 'BH020': 'Canal', 'EC010': 'Cane', 'AP010': 'Cart Track', 'AC020': 'Catalytic Cracker', 'AQ064': 'Causeway', 'DB030': 'Cave', 'AL030': 'Cemetery', 'AH070': 'Checkpoint', 'AJ010': 'Circular Irrigation System', 'BI010': 'Cistern', 'EC040': 'Cleared Way', 'AT060': 'Communication Line', 'AT050': 'Communication Station', 'AT080': 'Communication Tower', 'AQ060': 'Control Tower', 'AF020': 'Conveyor', 'AF030': 'Cooling Tower', 'AF040': 'Crane', 'BJ031': 'Crevasse', 'DB061': 'Crevice', 'EA010': 'Crop Land', 'AQ065': 'Culvert', 'DB070': 'Cut', 'DB071': 'Cut Line', 'BI020': 'Dam', 'AT010': 'Dish Aerial', 'AB000': 'Disposal Site', 'BH030': 'Ditch', 'BB090': 'Dry Dock', 'DB090': 'Embankment', 'AQ090': 'Entrance and/or Exit', 'DB100': 'Esker', 'AA010': 'Extraction Mine', 'AK090': 'Fairground', 'AL070': 'Fence', 'AQ070': 'Ferry Crossing', 'FA015': 'Firing Range', 'AF070': 'Flare Pipe', 'BH060': 'Flume', 'BH070': 'Ford', 'EC060': 'Forest Clearing', 'AH050': 'Fortification', 'AL080': 'Gantry', 'DB110': 'Geologic Fault', 'FA090': 'Geophysical Prospecting Grid', 'DB115': 'Geothermal Outlet', 'BJ030': 'Glacier', 'AK100': 'Golf Course', 'AM030': 'Grain Elevator', 'AM020': 'Grain Storage Structure', 'EB010': 'Grassland', 'BB043': 'Groin', 'DB200': 'Gully', 'BB005': 'Harbour', 'BB008': 'Harbour Waters', 'BD130': 'Hazardous Rock', 'AD050': 'Heating Facility', 'EA020': 'Hedgerow', 'GB030': 'Helipad', 'GB035': 'Heliport', 'AJ030': 'Holding Pen', 'AL100': 'Hut', 'AA052': 'Hydrocarbons Field', 'BJ040': 'Ice Cliff', 'BJ060': 'Ice Peak', 'AQ075': 'Ice Route', 'BA030': 'Island', 'BH080': 'Lake', 'BH090': 'Land Subject to Inundation', 'BA010': 'Land Water Boundary', 'GB040': 'Launch Pad', 'BC050': 'Lighthouse', 'BI030': 'Lock', 'BH050': 'Marine Farm', 'BB155': 'Maritime Signal Station', 'ED010': 'Marsh', 'AL130': 'Memorial Monument', 'SU001': 'Military Installation', 'AM040': 'Mineral Pile', 'AQ110': 'Mooring Mast', 'BJ020': 'Moraine', 'DB150': 'Mountain Pass', 'ZD040': 'Named Location', 'BH170': 'Natural Pool', 'AL240': 'Non-communication Tower', 'EC020': 'Oasis', 'BD110': 'Offshore Platform', 'AK120': 'Park', 'AL140': 'Particle Accelerator', 'BH110': 'Penstock', 'AQ113': 'Pipeline', 'AT030': 'Power Line', 'AD010': 'Power Station', 'AD030': 'Power Substation', 'AC000': 'Processing Facility', 'AL210': 'Protection Shed', 'AL170': 'Public Square', 'AQ116': 'Pumping Station', 'AT042': 'Pylon', 'AA012': 'Quarry', 'AK130': 'Racetrack', 'AT045': 'Radar Station', 'AN010': 'Railway', 'AN050': 'Railway Sidetrack', 'AN075': 'Railway Turntable', 'AN060': 'Railway Yard', 'BH120': 'Rapids', 'AK190': 'Recreational Pier', 'AB010': 'Recycling Site', 'BH130': 'Reservoir', 'BH135': 'Rice Field', 'AA040': 'Rig', 'BH140': 'River', 'AP030': 'Road', 'AP020': 'Road Interchange', 'AQ135': 'Roadside Rest Area', 'DB160': 'Rock Formation', 'AL200': 'Ruins', 'GB055': 'Runway', 'BH160': 'Sabkha', 'BH155': 'Salt Evaporator', 'DB170': 'Sand Dunes', 'GB065': 'Seaplane Base', 'BB230': 'Seawall', 'AL105': 'Settlement', 'AC030': 'Settling Pond', 'BB240': 'Slipway', 'BI040': 'Sluice Gate', 'AF010': 'Smokestack', 'BJ100': 'Snow Field and/or Ice-field', 'DA010': 'Soil Surface Region', 'AD020': 'Solar Panel', 'AK040': 'Sports Ground', 'AK160': 'Stadium', 'DB010': 'Steep Terrain Face', 'GB045': 'Stopway', 'AM010': 'Storage Depot', 'AM070': 'Storage Tank', 'BD100': 'Structural Pile', 'AM060': 'Surface Bunker', 'ED020': 'Swamp', 'GB075': 'Taxiway', 'FA100': 'Test Site', 'EB020': 'Thicket', 'BA040': 'Tidal Water', 'AP050': 'Trail', 'BB140': 'Training Wall', 'AQ125': 'Transportation Station', 'BJ110': 'Tundra', 'AQ130': 'Tunnel', 'BH145': 'Vanishing Point', 'AQ140': 'Vehicle Lot', 'ZD020': 'Void Collection Area', 'DB180': 'Volcano', 'AL260': 'Wall', 'BI041': 'Water Gate', 'BI050': 'Water Intake Tower', 'AM080': 'Water Tower', 'BH040': 'Water Treatment Bed', 'BH180': 'Waterfall', 'AA050': 'Well', 'AJ050': 'Windmill', 'AJ051': 'Windmotor', 'EC030': 'Wood', 'AK180': 'Zoo'}, 'attr': {'ACE': 'Absolute Horizontal Accuracy', 'ACE_EVAL': 'Absolute Horizontal Accuracy Evaluation Method', 'ALE': 'Absolute Vertical Accuracy', 'ALE_EVAL': 'Absolute Vertical Accuracy Evaluation Method', 'ACS': 'Accessibility Status', 'ZVA': 'Aerodrome Elevation', 'LFA': 'Aeronautical Light Function', 'ART': 'Aeronautical Route Category', 'AFC': 'Agricultural Facility Type', 'AWP': 'Air Warning Light Present', 'FPT': 'Airfield Type', 'AOO': 'Angle of Orientation', 'ATC': 'Aqueduct Type', 'ARA': 'Area', 'TXT': 'Associated Text', 'AFA': 'Available Small Craft Service', 'BOC': 'Bog Type', 'RSA': 'Branch Railway Type', 'BOT': 'Bridge Opening Type', 'BSC': 'Bridge Structure Type', 'BRF': 'Broadcast Frequency', 'BAC': 'Built-up Area Density Category', 'PBY': 'By-product', 'CAB': 'Cable Type', 'CAT': 'Cableway Type', 'DMT': 'Canopy Cover', 'NA3': 'Classification Name', 'CPYRT_NOTE': 'Commercial Copyright Notice', 'TIER_NOTE': 'Commercial Distribution Restriction', 'CIT': 'Commercial Facility Type', 'CUS': 'Communication Facility Type', 'FUN': 'Condition of Facility', 'CNS': 'Controlled', 'CAA': 'Controlling Authority', 'CFC': 'Corrections Facility Type', 'CCT': 'Cover Closure Type', 'CDA': 'Covered Drain', 'CRM': 'Crane Mobility Type', 'CRA': 'Crane Type', 'CSP': 'Crop Species', 'CEF': 'Cultural Facility Type', 'CTL': 'Cumulative Track Length', 'DFT': 'Dam Face Type', 'COD': 'Delineation Known', 'DDC': 'Dwelling Type', 'EBT': 'Educational Facility Type', 'FIC': 'Embankment Type', 'MIN': 'Extraction Mine Type', 'COS': 'Facility Operational Status', 'FMM': 'Farming Method', 'FFP': 'Farming Pattern', 'DMF': 'Feature Count', 'FTI': 'Fence Type', 'FCL': 'Ferry Crossing Distance', 'TRE': 'Foliage Type', 'FUC': 'Functional Use', 'GFC': 'Government Facility Type', 'FHC': 'Harbour Facility Function', 'HGT': 'Height Above Surface Level', 'HAF': 'Helipad Associated Facility', 'ACC': 'Horizontal Accuracy Category', 'HCA': 'Horizontal Clearance', 'HWT': 'House of Worship Type', 'HYP': 'Hydrologic Persistence', 'IKO': 'ICAO Identifier', 'IRG': 'Irrigation Method', 'ISS': 'Isolated', 'CLI': 'Isolated Communication Line', 'SHL': 'Left Bank Shoreline Type', 'LBV': 'Left Bank Vegetation Cover', 'LEN': 'Length or Diameter', 'RTA': 'Linear Feature Arrangement', 'LC1': 'Load Class Type 1', 'LC2': 'Load Class Type 2', 'LC3': 'Load Class Type 3', 'LC4': 'Load Class Type 4', 'RST': 'Load-bearing Surface Type', 'SRL': 'Location Referenced to Shoreline', 'UID': 'MGCP Feature universally unique identifier', 'ASC': 'Man-made', 'ICF': 'Manufacturing Facility Type', 'STA': 'Maritime Station Type', 'MOH': 'Maximum Obstacle Height', 'MVC': 'Maximum Vertical Clearance', 'MES': 'Median Present', 'MFC': 'Military Facility Type', 'BSM': 'Mobile Bridge Span', 'NAM': 'Name', 'NFN': 'Name Identifier', 'NFI': 'Named Feature Identifier', 'NVS': 'Navigability Information', 'LMC': 'Navigation Landmark', 'NST': 'Navigation System Type', 'OPC': 'Offshore Platform Type', 'OHB': 'Overall Bridge Height', 'NPL': 'Parallel Line Count', 'SCB': 'Pavement Condition', 'PRM': 'Permanent', 'KVA': 'Power Line Maximum Voltage', 'TST': 'Power Line Shape', 'PPC': 'Power Plant Type', 'PFH': 'Predominant Feature Height', 'PPO': 'Product', 'PAF': 'Public Accommodation Facility Type', 'PSF': 'Public Service Facility Type', 'RAC': 'Radar Antenna Configuration', 'GAW': 'Railway Gauge', 'RGC': 'Railway Gauge Classification', 'RRA': 'Railway Power Method', 'RRC': 'Railway Use', 'RIR': 'Railway in Road', 'ORD': 'Relative Importance', 'REL': 'Religious Designation', 'RFC': 'Religious Facility Type', 'RES': 'Research Facility Type', 'UPD_DATE': 'Review Source Date and Time', 'UPD_INFO': 'Review Source Description', 'UPD_NAME': 'Review Source Type', 'SHR': 'Right Bank Shoreline Type', 'RBV': 'Right Bank Vegetation Cover', 'RIT': 'Road Interchange Type', 'WTC': 'Road Weather Restriction', 'RKF': 'Rock Formation Structure', 'SSR': 'Roof Shape', 'RTN': 'Route Designation', 'WD1': 'Route Minimum Travelled Way Width', 'SDO': 'Sand Dune Orientation', 'SDT': 'Sand Dune Type', 'SFY': 'Security Facility Type', 'SSO': 'Shaft Slope Orientation', 'SUC': 'Shed Type', 'PWC': 'Shoreline Construction Type', 'SLT': 'Shoreline Type', 'FAC': 'Solid Maritime Construction', 'VDC': 'Sounding Datum', 'SRC_DATE': 'Source Date and Time', 'SRC_INFO': 'Source Description', 'SRC_NAME': 'Source Type', 'NOS': 'Span Count', 'SSC': 'Structure Shape', 'SMC': 'Surface Material Type', 'TXP': 'Taxiway Type', 'HCT': 'Thoroughfare Class', 'TID': 'Tide Influenced', 'NA2': 'Touristic Name', 'TOS': 'Tower Shape', 'TTC': 'Tower Type', 'LTN': 'Track or Lane Count', 'TFC': 'Transportation Facility Type', 'TRS': 'Transportation System Type', 'UHS': 'Uncovering Height Known', 'DMB': 'Undergrowth Density', 'LNU': 'Usable Length', 'UUC': 'Utility Facility Type', 'VEG': 'Vegetation Characteristic', 'VSP': 'Vegetation Species', 'VOI': 'Vertical Obstruction Identifier', 'LOC': 'Vertical Relative Location', 'ZVAL_TYPE': 'Vertical Source Category', 'VGT': 'Volcano Shape', 'GNC': 'Water Gate Type', 'WLE': 'Water Level Effect', 'SCC': 'Water Type', 'OWO': 'Waterbody Overhead Obstruction', 'WCC': 'Watercourse Channel Type', 'WST': 'Watercourse Sink Type', 'FRT': 'Weapons Range Type', 'WFT': 'Well Type', 'WID': 'Width'}}, 'TDS6': {'class': {'AB040': 'Aeration Basin', 'AT011': 'Aerial', 'AT012': 'Aerial Farm', 'GB230': 'Aircraft Hangar', 'AK164': 'Amphitheatre', 'AK030': 'Amusement Park', 'AK020': 'Amusement Park Attraction', 'ZD045': 'Annotated Location', 'GB015': 'Apron', 'BH010': 'Aqueduct', 'BH116': 'Aquifer', 'AQ151': 'Arcade', 'AL012': 'Archeological Site', 'DA005': 'Asphalt Lake', 'AL142': 'Astronomical Observatory', 'AJ085': 'Barn', 'BI045': 'Basin Gate', 'AG050': 'Billboard', 'AC010': 'Blast-furnace', 'BH015': 'Bog', 'AA045': 'Borehole', 'EA031': 'Botanic Garden', 'ZB030': 'Boundary Monument', 'AQ040': 'Bridge', 'AQ056': 'Bridge Pier', 'AQ045': 'Bridge Span', 'AQ050': 'Bridge Superstructure', 'AQ055': 'Bridge Tower', 'EB070': 'Brush', 'AL013': 'Building', 'AL018': 'Building Superstructure', 'AL020': 'Built-up Area', 'AT005': 'Cable', 'AT041': 'Cableway', 'AL025': 'Cairn', 'AI030': 'Camp', 'AK060': 'Camp-site', 'BH020': 'Canal', 'EC010': 'Cane', 'SU004': 'Cantonment Area', 'AI020': 'Caravan Park', 'AP010': 'Cart Track', 'AL375': 'Castle', 'AL376': 'Castle Complex', 'AC020': 'Catalytic Cracker', 'AQ063': 'Causeway Structure', 'DB028': 'Cave Chamber', 'DB029': 'Cave Mouth', 'AL030': 'Cemetery', 'AH070': 'Checkpoint', 'BI010': 'Cistern', 'EC040': 'Cleared Way', 'FA210': 'Conservation Area', 'FA012': 'Contaminated Region', 'AQ060': 'Control Tower', 'AF020': 'Conveyor', 'AD055': 'Cooling Facility', 'AF030': 'Cooling Tower', 'AL175': 'Courtyard', 'AF040': 'Crane', 'BJ031': 'Crevasse', 'DB061': 'Crevice', 'EA010': 'Crop Land', 'AQ062': 'Crossing', 'AQ065': 'Culvert', 'DB070': 'Cut', 'DB071': 'Cut Line', 'BI020': 'Dam', 'ZI031': 'Dataset', 'GB050': 'Defensive Revetment', 'DB080': 'Depression', 'EE030': 'Desert', 'AT010': 'Dish Aerial', 'AB000': 'Disposal Site', 'BH030': 'Ditch', 'AL060': "Dragon's Teeth", 'AK070': 'Drive-in Theatre', 'BB090': 'Dry Dock', 'AD010': 'Electric Power Station', 'CA010': 'Elevation Contour', 'DB090': 'Embankment', 'AF060': 'Engine Test Cell', 'AH025': 'Engineered Earthwork', 'AP033': 'Engineered Turnaround Site', 'ZI039': 'Entity Collection Metadata', 'DB100': 'Esker', 'AF050': 'Excavating Machine', 'AA010': 'Extraction Mine', 'AL010': 'Facility', 'AK090': 'Fairground', 'AL070': 'Fence', 'AQ070': 'Ferry Crossing', 'AQ080': 'Ferry Station', 'AL017': 'Fire Hydrant', 'FA015': 'Firing Range', 'BH051': 'Fish Farm Facility', 'BI060': 'Fish Ladder', 'BB110': 'Fish Weir', 'AL073': 'Flagpole', 'AF070': 'Flare Pipe', 'BB199': 'Floating Dry Dock', 'BI044': 'Flood Control Structure', 'BH070': 'Ford', 'EC015': 'Forest', 'EC060': 'Forest Clearing', 'AH055': 'Fortified Building', 'BH075': 'Fountain', 'AM075': 'Fuel Storage Facility', 'AL080': 'Gantry', 'AP040': 'Gate', 'BI070': 'Gauging Station', 'DB110': 'Geologic Fault', 'DB115': 'Geothermal Outlet', 'BJ030': 'Glacier', 'AK100': 'Golf Course', 'AK101': 'Golf Driving Range', 'AM030': 'Grain Elevator', 'AM020': 'Grain Storage Structure', 'AK110': 'Grandstand', 'EB010': 'Grassland', 'AJ110': 'Greenhouse', 'BB005': 'Harbour', 'GB250': 'Hardened Aircraft Shelter', 'AD050': 'Heating Facility', 'EA020': 'Hedgerow', 'GB030': 'Helipad', 'GB035': 'Heliport', 'AJ030': 'Holding Pen', 'EA055': 'Hop Field', 'AF080': 'Hopper', 'BD181': 'Hulk', 'BH077': 'Hummock', 'AL099': 'Hut', 'AC040': 'Hydrocarbon Products Facility', 'AA052': 'Hydrocarbons Field', 'BJ040': 'Ice Cliff', 'BJ060': 'Ice Peak', 'AQ075': 'Ice Route', 'BJ065': 'Ice Shelf', 'BJ099': 'Ice-cap', 'AL270': 'Industrial Farm', 'AC060': 'Industrial Furnace', 'BH082': 'Inland Waterbody', 'AL011': 'Installation', 'SU030': 'Installation Boundary', 'AL201': 'Interest Site', 'BA030': 'Island', 'GB005': 'Land Aerodrome', 'IA040': 'Land Parcel', 'BH090': 'Land Subject to Inundation', 'BA010': 'Land Water Boundary', 'DB211': 'Landslide Mass', 'GB040': 'Launch Pad', 'AL110': 'Light Support Structure', 'BC070': 'Light Vessel', 'BC050': 'Lighthouse', 'AB021': 'Liquid Diffuser', 'BI030': 'Lock', 'EE010': 'Logging Site', 'AK121': 'Lookout', 'AL371': 'Manor House', 'AI021': 'Manufactured Home Park', 'ED010': 'Marsh', 'AL130': 'Memorial Monument', 'SU001': 'Military Installation', 'AA020': 'Mine Shaft Superstructure', 'AL065': 'Minefield', 'AM040': 'Mineral Pile', 'AL120': 'Missile Site', 'BH100': 'Moat', 'AQ110': 'Mooring Mast', 'BJ020': 'Moraine', 'AQ170': 'Motor Vehicle Station', 'DB150': 'Mountain Pass', 'AM065': 'Munition Storage Facility', 'ZD040': 'Named Location', 'BH170': 'Natural Pool', 'AL014': 'Non-building Structure', 'AA054': 'Non-water Well', 'AD041': 'Nuclear Reactor Containment', 'EC020': 'Oasis', 'AG040': 'Office Park', 'BD115': 'Offshore Construction', 'EA040': 'Orchard', 'AK080': 'Outdoor Theatre Screen', 'AL155': 'Overhead Obstruction', 'AK120': 'Park', 'AQ141': 'Parking Garage', 'AL140': 'Particle Accelerator', 'BH110': 'Penstock', 'AK061': 'Picnic Site', 'AQ113': 'Pipeline', 'AL165': 'Pipeline Crossing Point', 'EA030': 'Plant Nursery', 'BJ080': 'Polar Ice', 'BB009': 'Port', 'AD030': 'Power Substation', 'AQ111': 'Prepared Watercourse Crossing', 'AL170': 'Public Square', 'AQ116': 'Pumping Station', 'AT042': 'Pylon', 'BH012': 'Qanat Shaft', 'AK130': 'Racetrack', 'AT045': 'Radar Station', 'AN010': 'Railway', 'AN050': 'Railway Sidetrack', 'AN085': 'Railway Signal', 'AN075': 'Railway Turntable', 'AN060': 'Railway Yard', 'AL195': 'Ramp', 'BH120': 'Rapids', 'AB010': 'Recycling Site', 'AL180': 'Retail Stand', 'BH135': 'Rice Field', 'AA040': 'Rig', 'BH140': 'River', 'AP030': 'Road', 'AP020': 'Road Interchange', 'AQ135': 'Roadside Rest Area', 'DB160': 'Rock Formation', 'AN076': 'Roundhouse', 'AL200': 'Ruins', 'GB055': 'Runway', 'BH160': 'Sabkha', 'BH155': 'Salt Evaporator', 'BH150': 'Salt Flat', 'DB170': 'Sand Dunes', 'AK161': 'Scoreboard', 'GB070': 'Seaplane Run', 'AL105': 'Settlement', 'AC030': 'Settling Pond', 'AC507': 'Sewage Treatment Plant', 'AL208': 'Shanty Town', 'AQ118': 'Sharp Curve', 'AA011': 'Shear Wall', 'AL019': 'Shed', 'BI006': 'Ship Elevator', 'AM011': 'Shipping Container', 'BB241': 'Shipyard', 'AG030': 'Shopping Complex', 'BB081': 'Shoreline Construction', 'BB082': 'Shoreline Ramp', 'AQ035': 'Sidewalk', 'AK150': 'Ski-jump', 'AK155': 'Ski-run', 'BI040': 'Sluice Gate', 'BB201': 'Small Craft Facility', 'AF010': 'Smokestack', 'BD140': 'Snag', 'BJ100': 'Snow Field and/or Ice-field', 'DA010': 'Soil Surface Region', 'AD025': 'Solar Farm', 'AD020': 'Solar Panel', 'AL351': 'Space Facility', 'BH165': 'Spillway', 'AK040': 'Sports Ground', 'CA030': 'Spot Elevation', 'AJ080': 'Stable', 'AK160': 'Stadium', 'AQ150': 'Stair', 'AQ120': 'Steep Grade', 'DB010': 'Steep Terrain Face', 'GB045': 'Stopway', 'AM010': 'Storage Depot', 'AM070': 'Storage Tank', 'AQ114': 'Storm Drain', 'AQ161': 'Street Lamp', 'AQ162': 'Street Sign', 'BD100': 'Structural Pile', 'AM060': 'Surface Bunker', 'ZB050': 'Survey Point', 'ED020': 'Swamp', 'AK170': 'Swimming Pool', 'AP056': 'Tank Crossing', 'AM071': 'Tank Farm', 'AP055': 'Tank Trail', 'GB075': 'Taxiway', 'FA100': 'Test Site', 'AL510': 'Tethered Balloon', 'EB020': 'Thicket', 'BA040': 'Tidal Water', 'AL036': 'Tomb', 'AL241': 'Tower', 'AQ160': 'Traffic Light', 'AP050': 'Trail', 'FA165': 'Training Site', 'AQ068': 'Transportation Block', 'AQ059': 'Transportation Route Characteristic Change', 'AL211': 'Transportation Route Protection Structure', 'AQ125': 'Transportation Station', 'EC005': 'Tree', 'BJ110': 'Tundra', 'AQ130': 'Tunnel', 'AQ095': 'Tunnel Mouth', 'AH060': 'Underground Bunker', 'AL250': 'Underground Dwelling', 'AQ115': 'Utility Cover', 'BH145': 'Vanishing Point', 'AP041': 'Vehicle Barrier', 'AQ140': 'Vehicle Lot', 'BI005': 'Vessel Lift', 'EA050': 'Vineyard', 'ZD020': 'Void Collection Area', 'DB190': 'Volcanic Dyke', 'DB180': 'Volcano', 'AL260': 'Wall', 'AB507': 'Waste Heap', 'GB065': 'Water Aerodrome', 'BI050': 'Water Intake Tower', 'ZD070': 'Water Measurement Location', 'AJ055': 'Water Mill', 'BH065': 'Water Race', 'AM080': 'Water Tower', 'BH040': 'Water Treatment Bed', 'BH230': 'Water Well', 'BH180': 'Waterfall', 'BH220': 'Waterwork', 'AD060': 'Wind Farm', 'AJ051': 'Wind Turbine', 'AJ050': 'Windmill', 'AK180': 'Zoo'}, 'attr': {'ZI020_GE4': '(Location Country) Designation : GENC Short URN-based Identifier', 'ZI020_GE44': '(Location Country) Designation : GENC Short URN-based Identifier (fourth)', 'ZI020_GE42': '(Location Country) Designation : GENC Short URN-based Identifier (second)', 'ZI020_GE43': '(Location Country) Designation : GENC Short URN-based Identifier (third)', 'AHA': 'Absolute Horizontal Accuracy (90%)', 'AVA': 'Absolute Vertical Accuracy (90%)', 'UTY': 'Accessible Utility Type', 'UTY2': 'Accessible Utility Type [2]', 'UTY3': 'Accessible Utility Type [3]', 'ADR': 'Address', 'ADI': 'Administrative Division', 'ZVA': 'Aerodrome Elevation', 'ASU': 'Aerodrome Movement Area Surface Composition', 'ASU2': 'Aerodrome Movement Area Surface Composition [2]', 'ASU3': 'Aerodrome Movement Area Surface Composition [3]', 'NA8': 'Aerodrome Official Name', 'ZI019_ASX': 'Aerodrome Pavement Information : Aerodrome Movement Area Surface Category', 'ZI019_ASU': 'Aerodrome Pavement Information : Aerodrome Movement Area Surface Composition', 'ZI019_ASU2': 'Aerodrome Pavement Information : Aerodrome Movement Area Surface Composition [2]', 'ZI019_ASU3': 'Aerodrome Pavement Information : Aerodrome Movement Area Surface Composition [3]', 'ZI019_ASP': 'Aerodrome Pavement Information : Aerodrome Movement Area Surface Preparation Method', 'ZI019_ASP2': 'Aerodrome Pavement Information : Aerodrome Movement Area Surface Preparation Method [2]', 'ZI019_ASP3': 'Aerodrome Pavement Information : Aerodrome Movement Area Surface Preparation Method [3]', 'ZI019_SFS': 'Aerodrome Pavement Information : Aerodrome Pavement Functional Status', 'AXS': 'Aerodrome Surface Status', 'AWP': 'Aeronautical Obstacle Light Present', 'ASY': 'Airfield Symbol Type', 'FPT': 'Airfield Type', 'APT': 'Airfield Use', 'APT2': 'Airfield Use [2]', 'APT3': 'Airfield Use [3]', 'AMA': 'Amusement Attraction Type', 'AOO': 'Angle of Orientation', 'APY': 'Apron Type', 'APU': 'Apron Usage', 'APU2': 'Apron Usage [2]', 'APU3': 'Apron Usage [3]', 'ATC': 'Aqueduct Type', 'AQP': 'Aquifer Composition', 'AQP2': 'Aquifer Composition [2]', 'AQP3': 'Aquifer Composition [3]', 'DPAC': 'Aquifer Depth <interval closure>', 'DPAL': 'Aquifer Depth <lower value>', 'DPAU': 'Aquifer Depth <upper value>', 'AQN': 'Aquifer Name', 'AQO': 'Aquifer Overburden', 'AQO2': 'Aquifer Overburden [2]', 'AQO3': 'Aquifer Overburden [3]', 'AQTC': 'Aquifer Thickness <interval closure>', 'AQTL': 'Aquifer Thickness <lower value>', 'AQTU': 'Aquifer Thickness <upper value>', 'AYRC': 'Aquifer Yield Rating <interval closure>', 'AYRL': 'Aquifer Yield Rating <lower value>', 'AYRU': 'Aquifer Yield Rating <upper value>', 'ARA': 'Area', 'ATB': 'Attached Building', 'WDAC': 'Average Water Depth <interval closure>', 'WDAL': 'Average Water Depth <lower value>', 'WDAU': 'Average Water Depth <upper value>', 'BAT': 'Barrier Top Type', 'BEL': 'Base Elevation', 'BEN': 'Basic Encyclopedia (BE) Number', 'BGT': 'Basin Gate Type', 'BOC': 'Bog Type', 'BMC': 'Bottom Material Type', 'BMC2': 'Bottom Material Type [2]', 'BMC3': 'Bottom Material Type [3]', 'RSA': 'Branch Railway Type', 'BOT': 'Bridge Opening Type', 'BRN': 'Bridge Reference Number', 'BSC': 'Bridge Structure Type', 'BSC2': 'Bridge Structure Type [2]', 'BSC3': 'Bridge Structure Type [3]', 'BSU': 'Building Superstructure Type', 'BAC': 'Built-up Area Density Category', 'PBY': 'By-product', 'PBY2': 'By-product [2]', 'PBY3': 'By-product [3]', 'BCC': 'Bypass Condition', 'AT005_CAB': 'Cable : Cable Type', 'AT005_CAB2': 'Cable : Cable Type [2]', 'AT005_CAB3': 'Cable : Cable Type [3]', 'TST': 'Cable Suspended Shape', 'CAB': 'Cable Type', 'CAB2': 'Cable Type [2]', 'CAB3': 'Cable Type [3]', 'CAT': 'Cableway Type', 'CSI': 'Cadastral Source Identifier', 'CSY': 'Cadastral Source Identifier Type', 'CDM': 'Cadastral Source Measurement', 'CDY': 'Cadastral Source Type', 'DMT': 'Canopy Cover', 'ZI071_CTX': 'Cave Information : Cave Type', 'ZI071_FFN': 'Cave Information : Feature Function', 'ZI071_FFN2': 'Cave Information : Feature Function [2]', 'ZI071_FFN3': 'Cave Information : Feature Function [3]', 'ZI071_UAO': 'Cave Information : Underground Access Orientation', 'CID': 'Cell Identifier', 'CPS': 'Cell Partition Scheme', 'MWG': 'Centerline Spacing', 'CCN': 'Commercial Copyright Notice', 'CDR': 'Commercial Distribution Restriction', 'CNF': 'Confined', 'CAM': 'Conservation Area Management Category', 'CST': 'Contained within Service Tunnel', 'CWT': 'Contained within Tunnel', 'CBP': 'Containment Berm Present', 'CSO': 'Contaminant Source', 'CAA': 'Controlling Authority', 'CVT': 'Conveyor Type', 'CVT2': 'Conveyor Type [2]', 'CVT3': 'Conveyor Type [3]', 'CCT': 'Cover Closure Type', 'CDA': 'Covered Drain', 'CDL': 'Covered Drain Length', 'CRM': 'Crane Mobility Type', 'CRA': 'Crane Type', 'ZI013_CSP': 'Crop Information : Crop Species', 'ZI013_CSP2': 'Crop Information : Crop Species [2]', 'ZI013_CSP3': 'Crop Information : Crop Species [3]', 'ZI013_FMM': 'Crop Information : Farming Method', 'ZI013_FMM2': 'Crop Information : Farming Method [2]', 'ZI013_FMM3': 'Crop Information : Farming Method [3]', 'ZI013_FFP': 'Crop Information : Farming Pattern', 'ZI013_FFP2': 'Crop Information : Farming Pattern [2]', 'ZI013_FFP3': 'Crop Information : Farming Pattern [3]', 'ZI013_IRG': 'Crop Information : Irrigation Method', 'ZI013_PIG': 'Crop Information : Permanent Irrigation', 'TCS': 'Cross-sectional Profile', 'CTC': 'Culvert Type', 'CTL': 'Cumulative Track Length', 'RAD': 'Curve Radius', 'LDC': 'Dam Crest Length', 'WOC': 'Dam Crest Width', 'DFT': 'Dam Face Type', 'DWT': 'Dam Type', 'DMD': 'Dammed', 'DQS': 'Data Quality Statement', 'DZC': 'Deck Count', 'DEV': 'Deck Level', 'DZP': 'Deepest Depth Below Surface Level', 'DIM': 'Diameter', 'DOF': 'Direction of Flow', 'SEP': 'Divided', 'EPW': 'Electrical Power Generation Capacity', 'ESC': 'Elevation Surface Category', 'EVA': 'Elevation Vertical Accuracy (90%)', 'FIC': 'Embankment Type', 'ETY': 'Engine Test Cell Type', 'EET': 'Engineered Earthwork Type', 'EQC': 'Equivalent Scale Category', 'MZN': 'Extraction Mine Type', 'ETS': 'Extraction Specification', 'ETZ': 'Extraction Specification Version', 'COS': 'Facility Operational Status', 'FCO': 'Feature Configuration', 'FFN': 'Feature Function', 'FFN2': 'Feature Function [2]', 'FFN3': 'Feature Function [3]', 'ZI026_CTUC': 'Feature Metadata : Cartographic Usability Range <interval closure>', 'ZI026_CTUL': 'Feature Metadata : Cartographic Usability Range <lower value>', 'ZI026_CTUU': 'Feature Metadata : Cartographic Usability Range <upper value>', 'ZI004_RCG': 'Feature Metadata : Process Step Information : Resource Content Originator', 'ZI026_SUR': 'Feature Metadata : Survey Coverage Category', 'FTI': 'Fence Type', 'FCL': 'Ferry Crossing Distance', 'FER': 'Ferry Crossing Type', 'FSC': 'Flight Strip Capable', 'FLO': 'Floating', 'FCS': 'Flood Control Structure Type', 'BNF': 'Floor Count', 'BC101_SST': 'Fog Signal : Fog Signal Type', 'TRE': 'Foliage Type', 'FZR': 'Fortified Building Type', 'SIC': 'Frozen Cover Type', 'GTC': 'Gate Use', 'HZD': 'Geodetic Datum', 'ZI005_FNA': 'Geographic Name Information : Full Name', 'ZI005_FNA2': 'Geographic Name Information : Full Name (second)', 'ZI005_FNA3': 'Geographic Name Information : Full Name (third)', 'ZI005_NFN': 'Geographic Name Information : Name Identifier', 'ZI005_NFN2': 'Geographic Name Information : Name Identifier (second)', 'ZI005_NFN3': 'Geographic Name Information : Name Identifier (third)', 'GFT': 'Geologic Fault Trace Visible', 'GOT': 'Geothermal Outlet Type', 'LOG': 'Gradient Length', 'CET': 'Grading Type', 'GUG': 'Guyed', 'HTP': 'Hangar Type Category', 'FHC': 'Harbour Facility Function', 'FHC2': 'Harbour Facility Function [2]', 'FHC3': 'Harbour Facility Function [3]', 'HST': 'Hazard Shelter Intended Use', 'HST2': 'Hazard Shelter Intended Use [2]', 'HST3': 'Hazard Shelter Intended Use [3]', 'HGT': 'Height Above Surface Level', 'HVA': 'Height Vertical Accuracy (90%)', 'HEI': 'Height of Object', 'HAF': 'Helipad Associated Facility', 'ZVH': 'Highest Elevation', 'ZVH_AVA': 'Highest Elevation <absolute vertical accuracy>', 'ZVH_VDT': 'Highest Elevation <vertical datum>', 'HSS': 'Historic Significance', 'HHD': 'Homogenous Habitation Distribution', 'HCA': 'Horizontal Clearance', 'ZI025_MAN': 'Hydrographic Vertical Positioning Information : Maritime Navigation Marked', 'ZI025_WLE': 'Hydrographic Vertical Positioning Information : Water Level Effect', 'HQC': 'Hypsography Portrayal Type', 'IKO': 'ICAO Location Indicator', 'IWT': 'Inland Water Type', 'BH141_AWBA': 'Inland Waterbody Bank : Above Water Bank Slope (first bank)', 'BH141_AWBB': 'Inland Waterbody Bank : Above Water Bank Slope (second bank)', 'BH141_IBOA': 'Inland Waterbody Bank : Bank Orientation (first bank)', 'BH141_IBOB': 'Inland Waterbody Bank : Bank Orientation (second bank)', 'BPWHAC': 'Inland Waterbody Bank : Predominant Waterbody Bank Height (first bank) <interval closure>', 'BPWHAL': 'Inland Waterbody Bank : Predominant Waterbody Bank Height (first bank) <lower value>', 'BPWHAU': 'Inland Waterbody Bank : Predominant Waterbody Bank Height (first bank) <upper value>', 'BPWHBC': 'Inland Waterbody Bank : Predominant Waterbody Bank Height (second bank) <interval closure>', 'BPWHBL': 'Inland Waterbody Bank : Predominant Waterbody Bank Height (second bank) <lower value>', 'BPWHBU': 'Inland Waterbody Bank : Predominant Waterbody Bank Height (second bank) <upper value>', 'BPWSAC': 'Inland Waterbody Bank : Predominant Waterbody Bank Slope (first bank) <interval closure>', 'BPWSAL': 'Inland Waterbody Bank : Predominant Waterbody Bank Slope (first bank) <lower value>', 'BPWSAU': 'Inland Waterbody Bank : Predominant Waterbody Bank Slope (first bank) <upper value>', 'BPWSBC': 'Inland Waterbody Bank : Predominant Waterbody Bank Slope (second bank) <interval closure>', 'BPWSBL': 'Inland Waterbody Bank : Predominant Waterbody Bank Slope (second bank) <lower value>', 'BPWSBU': 'Inland Waterbody Bank : Predominant Waterbody Bank Slope (second bank) <upper value>', 'BH141_SHDA': 'Inland Waterbody Bank : Shoreline Delineated (first bank)', 'BH141_SHDB': 'Inland Waterbody Bank : Shoreline Delineated (second bank)', 'BH141_SLTA': 'Inland Waterbody Bank : Shoreline Type (first bank)', 'BH141_SLTB': 'Inland Waterbody Bank : Shoreline Type (second bank)', 'BH141_WBHA': 'Inland Waterbody Bank : Waterbody Bank Height (first bank)', 'BH141_WBHB': 'Inland Waterbody Bank : Waterbody Bank Height (second bank)', 'BWVCAC': 'Inland Waterbody Bank : Waterbody Bank Vegetation Cover (first bank) <interval closure>', 'BWVCAL': 'Inland Waterbody Bank : Waterbody Bank Vegetation Cover (first bank) <lower value>', 'BWVCAU': 'Inland Waterbody Bank : Waterbody Bank Vegetation Cover (first bank) <upper value>', 'BWVCBC': 'Inland Waterbody Bank : Waterbody Bank Vegetation Cover (second bank) <interval closure>', 'BWVCBL': 'Inland Waterbody Bank : Waterbody Bank Vegetation Cover (second bank) <lower value>', 'BWVCBU': 'Inland Waterbody Bank : Waterbody Bank Vegetation Cover (second bank) <upper value>', 'NAO': 'Installation Operator', 'CSC': 'Intersection Control Type', 'CSC2': 'Intersection Control Type [2]', 'CSC3': 'Intersection Control Type [3]', 'INU': 'Inundation Type', 'LND': 'Land Morphology', 'LEA': 'Least Depth Below Surface Level', 'LZN': 'Length', 'LCA': 'Lifting Capacity', 'RTA': 'Linear Feature Arrangement', 'LC1': 'Load Class Type 1', 'LC2': 'Load Class Type 2', 'LC3': 'Load Class Type 3', 'LC4': 'Load Class Type 4', 'LUN': 'Located Underground', 'SRL': 'Location Referenced to Shoreline', 'MAG': 'Magnetic Variation', 'MDE': 'Maintenance Date and Time', 'AZC': 'Man-made', 'MNS': 'Man-made Shoreline', 'MFB': 'Manufactured Building', 'ZI014_PBY': 'Manufacturing Information : By-product', 'ZI014_PBY2': 'Manufacturing Information : By-product [2]', 'ZI014_PBY3': 'Manufacturing Information : By-product [3]', 'ZI014_PPO': 'Manufacturing Information : Product', 'ZI014_PPO2': 'Manufacturing Information : Product [2]', 'ZI014_PPO3': 'Manufacturing Information : Product [3]', 'ZI014_PRW': 'Manufacturing Information : Raw Material', 'ZI014_PRW2': 'Manufacturing Information : Raw Material [2]', 'ZI014_PRW3': 'Manufacturing Information : Raw Material [3]', 'BC040_LCN': 'Maritime Navigation Light : Light Characteristic Number', 'BC040_LVN': 'Maritime Navigation Light : Light Elevation', 'BC040_EOL': 'Maritime Navigation Light : Nominal Range', 'BC040_PER': 'Maritime Navigation Light : Period of Light', 'MAN': 'Maritime Navigation Marked', 'BC034_MRT': 'Maritime Radiobeacon : Maritime Radiobeacon Type', 'MWD': 'Maximum Design Water Depth', 'MES': 'Median Present', 'MEM': 'Memorandum', 'CCG': 'Military Environmental Hazard Category', 'YSU': 'Military Service Branch', 'MST': 'Missile Site Type', 'MST2': 'Missile Site Type [2]', 'MST3': 'Missile Site Type [3]', 'BSM': 'Mobile Bridge Span', 'MCX': 'Motorized Crossing', 'MUB': 'Multi-unit Building', 'NLT': 'Named Location Type', 'SWT': 'Natural Pool Type', 'NVS': 'Navigability Information', 'LMC': 'Navigation Landmark', 'STL': 'Nomadic Seasonal Location', 'STL2': 'Nomadic Seasonal Location [2]', 'STL3': 'Nomadic Seasonal Location [3]', 'ZI006_MEM': 'Note : Memorandum', 'OCS': 'Offshore Construction Primary Structure', 'ONE': 'One-way', 'OPT': 'Operating Cycle', 'OHC': 'Overhead Clearance', 'OOC': 'Overhead Obstruction Type', 'NPL': 'Parallel Line Count', 'TRA': 'Pedestrian Traversable', 'PSE': 'Periodic Restriction Month Interval', 'PRM': 'Permanent', 'PCF': 'Physical Condition', 'PLT': 'Pipeline Type', 'PLT2': 'Pipeline Type [2]', 'PLT3': 'Pipeline Type [3]', 'PEC': 'Port of Entry', 'KVA': 'Power Line Maximum Voltage', 'POS': 'Power Source', 'POS2': 'Power Source [2]', 'POS3': 'Power Source [3]', 'WVA': 'Predominant Average Water Velocity', 'PFD': 'Predominant Feature Depth', 'PFH': 'Predominant Feature Height', 'WDH': 'Predominant Maximum Water Depth', 'WVH': 'Predominant Maximum Water Velocity', 'WDL': 'Predominant Minimum Water Depth', 'WVL': 'Predominant Minimum Water Velocity', 'PVH': 'Predominant Vegetation Height', 'PWA': 'Predominant Water Depth', 'PWAC': 'Predominant Water Depth <interval closure>', 'PWAL': 'Predominant Water Depth <lower value>', 'PWAU': 'Predominant Water Depth <upper value>', 'ZI004_PRE': 'Process Step Information : Process Step Description', 'PPO': 'Product', 'PPO2': 'Product [2]', 'PPO3': 'Product [3]', 'PYC': 'Pylon Configuration', 'ZI032_GUG': 'Pylon Information : Guyed', 'ZI032_PYC': 'Pylon Information : Pylon Configuration', 'ZI032_PYM': 'Pylon Information : Pylon Material', 'ZI032_TOS': 'Pylon Information : Tower Shape', 'PYM': 'Pylon Material', 'RAC': 'Radar Antenna Configuration', 'RAS': 'Radar Station Function', 'RWC': 'Railway Class', 'RRC': 'Railway Use', 'RRC2': 'Railway Use [2]', 'RRC3': 'Railway Use [3]', 'PRW': 'Raw Material', 'PRW2': 'Raw Material [2]', 'PRW3': 'Raw Material [3]', 'RLE': 'Relative Level', 'ZI037_REL': 'Religious Information : Religious Designation', 'ZI037_RFA': 'Religious Information : Religious Facility Type', 'RCG': 'Resource Content Originator', 'ZSAX_RS0': 'Restriction Information : Security Attributes Group <resource classification>', 'ZSAX_RX0': 'Restriction Information : Security Attributes Group <resource dissemination controls>', 'ZSAX_RX3': 'Restriction Information : Security Attributes Group <resource non-intelligence community markings>', 'ZSAX_RX4': 'Restriction Information : Security Attributes Group <resource owner-producer>', 'RIP': 'Rig Present', 'ROR': 'Road Interchange Ramp', 'RIT': 'Road Interchange Type', 'RTY': 'Roadway Type', 'RKF': 'Rock Formation Structure', 'SSR': 'Roof Shape', 'SSR2': 'Roof Shape [2]', 'SSR3': 'Roof Shape [3]', 'RFD': 'Roofed', 'RTN': 'Route Designation', 'RTN2': 'Route Designation [2]', 'RTN3': 'Route Designation [3]', 'RIN_ROI': 'Route Identification <route designation type>', 'RIN_RTN': 'Route Identification <route designation>', 'RIN_ROI2': 'Route Identification [2] <route designation type>', 'RIN_RTN2': 'Route Identification [2] <route designation>', 'RIN_ROI3': 'Route Identification [3] <route designation type>', 'RIN_RTN3': 'Route Identification [3] <route designation>', 'RMWC': 'Route Median Width <interval closure>', 'RMWL': 'Route Median Width <lower value>', 'RMWU': 'Route Median Width <upper value>', 'WD1': 'Route Minimum Travelled Way Width', 'ZI016_WTC': 'Route Pavement Information : Road Weather Restriction', 'ZI016_WD1': 'Route Pavement Information : Route Minimum Travelled Way Width', 'ZI016_ROC': 'Route Pavement Information : Route Surface Composition', 'WD2': 'Route Total Usable Width', 'CON': 'Route Width Constriction Type', 'EXP': 'Route Width Expansion Type', 'GB052_RIDH': 'Runway Direction : Runway Designator (high end)', 'GB052_RIDL': 'Runway Direction : Runway Designator (low end)', 'GSGCHC': 'Runway Direction : Surface Slope (high end) <interval closure>', 'GSGCHL': 'Runway Direction : Surface Slope (high end) <lower value>', 'GSGCHU': 'Runway Direction : Surface Slope (high end) <upper value>', 'GSGCLC': 'Runway Direction : Surface Slope (low end) <interval closure>', 'GSGCLL': 'Runway Direction : Surface Slope (low end) <lower value>', 'GSGCLU': 'Runway Direction : Surface Slope (low end) <upper value>', 'SHC': 'Safe Horizontal Clearance', 'SDO': 'Sand Dune Orientation', 'SAD': 'Sand Dune Stabilized', 'SDT': 'Sand Dune Type', 'SSE': 'Seasonal Ice Limit', 'SAX_RX7': 'Security Attributes Group <resource SCI controls>', 'SAX_RY2': 'Security Attributes Group <resource atomic energy markings>', 'SAX_RS1': 'Security Attributes Group <resource classification reason>', 'SAX_RS2': 'Security Attributes Group <resource classified by>', 'SAX_RX9': 'Security Attributes Group <resource compilation reason>', 'SAX_RS3': 'Security Attributes Group <resource date of exempted source>', 'SAX_RS4': 'Security Attributes Group <resource declassification date>', 'SAX_RS5': 'Security Attributes Group <resource declassification event>', 'SAX_RS6': 'Security Attributes Group <resource declassification exception>', 'SAX_RS8': 'Security Attributes Group <resource derivatively classified by>', 'SAX_RS9': 'Security Attributes Group <resource derived from>', 'SAX_RY0': 'Security Attributes Group <resource display only to>', 'SAX_RX1': 'Security Attributes Group <resource foreign government information (open source)>', 'SAX_RX2': 'Security Attributes Group <resource foreign government information (protected source)>', 'SAX_RY1': 'Security Attributes Group <resource non-US controls>', 'SAX_RX5': 'Security Attributes Group <resource releasable to>', 'SAX_RX6': 'Security Attributes Group <resource special-access-required program identifier>', 'SAX_RX8': 'Security Attributes Group <resource type of exempted source>', 'SBC': 'Shelter Belt', 'SHT': 'Shipping Container Type', 'PWC': 'Shoreline Construction Type', 'SHD': 'Shoreline Delineated', 'SLR': 'Shoreline Ramp Type', 'SLT': 'Shoreline Type', 'SDCC': 'Soil Depth <interval closure>', 'SDCL': 'Soil Depth <lower value>', 'SDCU': 'Soil Depth <upper value>', 'STP': 'Soil Type', 'SWC': 'Soil Wetness Condition', 'FAC': 'Solid Maritime Construction', 'ZI001_SDV': 'Source Information : Source Date and Time', 'ZI001_SDP': 'Source Information : Source Description', 'ZI001_SRT': 'Source Information : Source Type', 'ZI001_SPS': 'Source Information : Spatial Source', 'ZI001_VSC': 'Source Information : Vertical Source Category', 'ZI001_VSD': 'Source Information : Vertical Source Date and Time', 'ZI001_VSN': 'Source Information : Vertical Source Description', 'NOS': 'Span Count', 'OTH': 'Specified Domain Value(s)', 'SPM': 'Speed Limit (KPH)', 'HGS': 'Spillway Height', 'SWW': 'Static Water Level', 'SDSC': 'Stem Diameter <interval closure>', 'SDSL': 'Stem Diameter <lower value>', 'SDSU': 'Stem Diameter <upper value>', 'SSG': 'Street Sign Type', 'MCC': 'Structural Material Type', 'MCC2': 'Structural Material Type [2]', 'MCC3': 'Structural Material Type [3]', 'SDQ': 'Structurally-dissected', 'SSC': 'Structure Shape', 'SBT': 'Substation Type', 'SBT2': 'Substation Type [2]', 'SBT3': 'Substation Type [3]', 'SPT': 'Supported', 'SBB': 'Supported by Bridge Span', 'SGCC': 'Surface Slope <interval closure>', 'SGCL': 'Surface Slope <lower value>', 'SGCU': 'Surface Slope <upper value>', 'SUY': 'Survey Point Type', 'TXP': 'Taxiway Type', 'TEL': 'Telescope Type', 'WD3': 'Terrain Gap Width', 'SRD': 'Terrain Morphology', 'TSM': 'Terrain Surface Material', 'TSM2': 'Terrain Surface Material [2]', 'TSM3': 'Terrain Surface Material [3]', 'THI': 'Thickness', 'THR': 'Through Route', 'TID': 'Tide Influenced', 'TTY': 'Tomb Type', 'TOS': 'Tower Shape', 'TTC': 'Tower Type', 'TTC2': 'Tower Type [2]', 'TTC3': 'Tower Type [3]', 'ZI017_GAW': 'Track Information : Railway Gauge', 'ZI017_RGC': 'Track Information : Railway Gauge Classification', 'ZI017_RRA': 'Track Information : Railway Power Method', 'ZI017_RIR': 'Track Information : Railway in Road', 'ZI017_TRT': 'Track Information : Track Type', 'LTN': 'Track or Lane Count', 'SRE': 'Traffic Restriction Type', 'DGC': 'Transportation Block Type', 'TRP': 'Transportation Route Protection Structure Type', 'TRS': 'Transportation System Type', 'TRS2': 'Transportation System Type [2]', 'TRS3': 'Transportation System Type [3]', 'TSCC': 'Tree Spacing <interval closure>', 'TSCL': 'Tree Spacing <lower value>', 'TSCU': 'Tree Spacing <upper value>', 'UBC': 'Underbridge Clearance', 'UMA': 'Underground Mine Access', 'DMBC': 'Undergrowth Density <interval closure>', 'DMBL': 'Undergrowth Density <lower value>', 'DMBU': 'Undergrowth Density <upper value>', 'UFI': 'Unique Entity Identifier', 'URI': 'Unique Resource Identifier', 'LNU': 'Usable Length', 'WDU': 'Usable Width', 'VEG': 'Vegetation Characteristic', 'VSP': 'Vegetation Species', 'VSP2': 'Vegetation Species [2]', 'VSP3': 'Vegetation Species [3]', 'VTI': 'Vegetation Trafficability Impact', 'VET': 'Vehicle Type', 'VCS': 'Vertical Clearance, Safe', 'VCS_VCR': 'Vertical Clearance, Safe <reference level remark>', 'VCS_VCD': 'Vertical Clearance, Safe <reference level>', 'VCM': 'Vertical Construction Material', 'VCM2': 'Vertical Construction Material [2]', 'VCM3': 'Vertical Construction Material [3]', 'VDT': 'Vertical Datum', 'VOI': 'Vertical Obstruction Identifier', 'LOC': 'Vertical Relative Location', 'VCA': 'Void Collection Reason', 'VCA2': 'Void Collection Reason [2]', 'VCA3': 'Void Collection Reason [3]', 'VCT': 'Void Collection Type', 'VCT2': 'Void Collection Type [2]', 'VCT3': 'Void Collection Type [3]', 'VOA': 'Volcanic Activity', 'VGT': 'Volcano Shape', 'VLM': 'Volume', 'WTI': 'Wall Type', 'WLE': 'Water Level Effect', 'BA000_VDC': 'Water Line : Sounding Datum', 'BA000_VDR': 'Water Line : Sounding Datum Name', 'YWQ': 'Water Potability', 'WRT': 'Water Race Type', 'ZI024_ASE': 'Water Resource Information : Arsenic Concentration', 'ZI024_CLO': 'Water Resource Information : Chloride Concentration', 'ZI024_CFR': 'Water Resource Information : Coliform Concentration', 'ZI024_CYN': 'Water Resource Information : Cyanide Concentration', 'ZI024_HYP': 'Water Resource Information : Hydrologic Persistence', 'ZI024_MGN': 'Water Resource Information : Magnesium Concentration', 'ZI024_TUR': 'Water Resource Information : Nephelometric Turbidity', 'ZI024_SUL': 'Water Resource Information : Sulfate Concentration', 'ZI024_TEP': 'Water Resource Information : Temperature', 'ZI024_TDS': 'Water Resource Information : Total Dissolved Solids', 'ZI024_WAC': 'Water Resource Information : Water Conductivity', 'ZI024_HAR': 'Water Resource Information : Water Hardness', 'ZI024_YWQ': 'Water Resource Information : Water Potability', 'ZI024_SCC': 'Water Resource Information : Water Type', 'ZI024_PHW': 'Water Resource Information : pH', 'WAD': 'Water Well Construction Description', 'WBD': 'Waterbody Depth', 'OWO': 'Waterbody Overhead Obstruction', 'WCC': 'Watercourse Channel Type', 'WMT': 'Watercourse Morphology', 'WST': 'Watercourse Sink Type', 'FRT': 'Weapons Range Type', 'FRT2': 'Weapons Range Type [2]', 'FRT3': 'Weapons Range Type [3]', 'WEQ': 'Well Equipment', 'WEQ2': 'Well Equipment [2]', 'WEQ3': 'Well Equipment [3]', 'WFT': 'Well Type', 'WID': 'Width', 'WT2': 'Width of Second Travelled Way', 'ZI018_WIT': 'Wireless Telecommunication Information : Wireless Telecommunication Type', 'WPI': 'World Port Index Identifier'}}}
+from __future__ import annotations
+
+from .schema_models import attr_labels, class_labels, model_names
+
+
+class _LabelView(dict):
+    """Lazy model -> {'class': {...}, 'attr': {...}} mapping (back-compat
+    shape for conditions.with_labels and the oracle renderers)."""
+
+    def __missing__(self, name: str):
+        if name not in model_names():
+            raise KeyError(name)
+        v = {"class": class_labels(name), "attr": attr_labels(name)}
+        self[name] = v
+        return v
+
+    def get(self, name, default=None):
+        try:
+            return self[name]
+        except KeyError:
+            return default
+
+
+LABELS = _LabelView()
 
 
 def ecc_label(model: str, fcode: str) -> str:
