@@ -115,13 +115,38 @@ HAVING COUNT(*) > 1
 # is linear in document size.  Pairs whose common shingles are all hot (or
 # all but one) are not reported — the declared (and oracle-mirrored)
 # semantics of the DF-capped min-support operator.
+#
+# The cap is CORPUS-RELATIVE (round-4 sf1 stress finding): with an absolute
+# cap, scaling the corpus 10x with a duplication factor of ~10 pushed every
+# near-dup shingle's DF past the cap and the operator silently reported ~0
+# pairs.  df_cap(n) = clamp(0.004 * n_docs, 20, 500): unchanged at the
+# sf0.01 gate (20), grows with corpus so duplication-inflated DFs stay
+# below it, and the 500 ceiling bounds the k^2-per-shingle candidate cost
+# (at 10^12 docs the capped-exact path is the verifier; the banded MinHash
+# path dedup_minhash_lsh, which has no DF explosion, is the primary).
 SHINGLE_DF_CAP = 20
+SHINGLE_DF_CAP_MAX = 500
+SHINGLE_DF_FRAC = 0.004
 CAND_MIN_SUPPORT = 2
+
+
+def _df_cap(n_docs: int) -> int:
+    import math
+
+    return max(SHINGLE_DF_CAP, min(SHINGLE_DF_CAP_MAX, math.ceil(SHINGLE_DF_FRAC * n_docs)))
+
+
+#: oracle-side twin of _df_cap over a docs-count subquery
+_DF_CAP_SQL = (
+    f"GREATEST({SHINGLE_DF_CAP}, LEAST({SHINGLE_DF_CAP_MAX},"
+    f" CAST(CEIL({SHINGLE_DF_FRAC} * (SELECT COUNT(*) FROM docs_aug)) AS BIGINT)))"
+)
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     aug = _docs_aug(spark)
+    df_cap = _df_cap(aug.count())  # corpus-relative stop-shingle cap
     # The shingle relation feeds sizes, rare, and both common joins;
     # persist it so the Generate+distinct subtree runs ONCE (round-2 plan
     # recomputed it 3x — 26 Exchanges).  At 100 TB the persisted table is
@@ -138,7 +163,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_df = Window.partitionBy("shingle")
     rare = (
         sh.withColumn("_df", F.count("*").over(w_df))
-        .filter(F.col("_df") <= SHINGLE_DF_CAP)
+        .filter(F.col("_df") <= df_cap)
         .drop("_df")
     )
     cand = (
@@ -184,7 +209,7 @@ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
 rare AS (
   SELECT s.doc_id, s.shingle FROM shingles s
   JOIN (SELECT shingle FROM shingles GROUP BY 1
-        HAVING COUNT(*) <= {SHINGLE_DF_CAP}) r USING (shingle)
+        HAVING COUNT(*) <= {_DF_CAP_SQL}) r USING (shingle)
 ),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
