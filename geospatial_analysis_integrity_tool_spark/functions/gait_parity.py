@@ -316,6 +316,25 @@ def point_inside_poly_gait(px, py, X, Y, V=None) -> np.ndarray:
     return (crossing.sum(axis=1) % 2).astype(np.int32)
 
 
+def point_inside_poly_gait_ring(px, py, ring_x, ring_y) -> np.ndarray:
+    """Many points against ONE ring — reference-exact twin of
+    geometry.pip_ray_cast_ring (drops an explicitly repeated closing vertex
+    first, as the engine's ring convention does; the C indexes (i+1)%numb
+    so an unclosed ring is what it expects)."""
+    rx = np.asarray(ring_x, dtype=np.float64)
+    ry = np.asarray(ring_y, dtype=np.float64)
+    if len(rx) >= 2 and rx[-1] == rx[0] and ry[-1] == ry[0]:
+        rx, ry = rx[:-1], ry[:-1]
+    px = np.asarray(px, dtype=np.float64)
+    n = len(px)
+    m = len(rx)
+    if m == 0:
+        return np.zeros(n, dtype=np.int32)
+    X = np.broadcast_to(rx[None, :], (n, m))
+    Y = np.broadcast_to(ry[None, :], (n, m))
+    return point_inside_poly_gait(px, py, X, Y)
+
+
 # ---------------------------------------------------------------------------
 # AllCaseLineSegmentsIntersect — moregeomchecks.c:5319
 # ---------------------------------------------------------------------------

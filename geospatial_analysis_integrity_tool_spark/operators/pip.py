@@ -114,6 +114,7 @@ def pip_join(
     ys: str = "ys",
     cell_deg: float = DEFAULT_CELL_DEG,
     broadcast_max_vertex_bytes: int = BROADCAST_MAX_VERTEX_BYTES,
+    kernel: str = "fast",
 ) -> DataFrame:
     """points (id, lon, lat, ...) x polys (id, xs: array, ys: array) -> matches.
 
@@ -136,7 +137,7 @@ def pip_join(
             points, polys, point_id, lon, lat, poly_id, xs, ys, cell_deg
         )
     return _pip_join_broadcast(
-        points, polys, point_id, lon, lat, poly_id, xs, ys, cell_deg
+        points, polys, point_id, lon, lat, poly_id, xs, ys, cell_deg, kernel
     )
 
 
@@ -150,9 +151,16 @@ def _pip_join_broadcast(
     xs: str = "xs",
     ys: str = "ys",
     cell_deg: float = DEFAULT_CELL_DEG,
+    kernel: str = "fast",
 ) -> DataFrame:
     """Broadcast-build variant: polygon vertices collected once and broadcast
-    to the kernel workers (row-identical to the shipped variant)."""
+    to the kernel workers (row-identical to the shipped variant).
+
+    kernel="gait" swaps the refine predicate for the REFERENCE-EXACT
+    PointInsidePoly transcription (functions/gait_parity.py, fuzzed
+    bit-for-bit against the compiled C — TT.c:6920): identical answers off
+    the boundary-degenerate set, reference tie-breaks ON it (vertex-on-ray
+    collinear runs)."""
     spark = points.sparkSession
     ppd = polys.select(poly_id, xs, ys).toPandas()
     ids = ppd[poly_id].to_numpy()
@@ -179,6 +187,15 @@ def _pip_join_broadcast(
         f"{f.name} {f.dataType.simpleString()}" for f in cands.schema.fields
     )
 
+    if kernel == "gait":
+        from ..functions.gait_parity import point_inside_poly_gait_ring
+
+        ring_test = lambda px, py, rx, ry: point_inside_poly_gait_ring(
+            px, py, rx, ry
+        ).astype(bool)
+    else:
+        ring_test = pip_ray_cast_ring
+
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         index_, X_, Y_ = bpolys.value
         for pdf in batches:
@@ -191,7 +208,7 @@ def _pip_join_broadcast(
                 ring_x = X_[i][~np.isnan(X_[i])]
                 ring_y = Y_[i][~np.isnan(Y_[i])]
                 pos = grp.index.to_numpy()
-                keep[pos] = pip_ray_cast_ring(
+                keep[pos] = ring_test(
                     grp[lon].to_numpy(), grp[lat].to_numpy(), ring_x, ring_y
                 )
             if keep.any():
@@ -257,6 +274,15 @@ def pip_join_salted(
         f"{f.name} {f.dataType.simpleString()}" for f in cands.schema.fields
     )
 
+    if kernel == "gait":
+        from ..functions.gait_parity import point_inside_poly_gait_ring
+
+        ring_test = lambda px, py, rx, ry: point_inside_poly_gait_ring(
+            px, py, rx, ry
+        ).astype(bool)
+    else:
+        ring_test = pip_ray_cast_ring
+
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         index_, X_, Y_ = bpolys.value
         for pdf in batches:
@@ -269,7 +295,7 @@ def pip_join_salted(
                 ring_x = X_[i][~np.isnan(X_[i])]
                 ring_y = Y_[i][~np.isnan(Y_[i])]
                 pos = grp.index.to_numpy()
-                keep[pos] = pip_ray_cast_ring(
+                keep[pos] = ring_test(
                     grp[lon].to_numpy(), grp[lat].to_numpy(), ring_x, ring_y
                 )
             if keep.any():

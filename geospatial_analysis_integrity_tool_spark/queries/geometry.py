@@ -37,6 +37,27 @@ def q_geo_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("point_id", "zone_id", "fcode")
 
 
+def q_geo_pip_gait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PTINREGION through the REFERENCE-EXACT PointInsidePoly kernel
+    (functions/gait_parity.point_inside_poly_gait, the transcription fuzzed
+    bit-for-bit against the compiled C in tests/test_ref_oracle_parity.py)
+    instead of the half-open fast path — same oracle as geo_pip (the
+    fixture keeps points off the boundary-degenerate set where only the
+    tie-breaks differ), so the gate proves the reference kernel agrees at
+    query scale."""
+    register_geo_views(spark, sf_dir)
+    points = spark.table("geo_points")
+    zones = spark.table("geo_zones").select(
+        F.col("zone_id"),
+        F.array("x1", "x2", "x3").alias("xs"),
+        F.array("y1", "y2", "y3").alias("ys"),
+    )
+    out = pip_join(
+        points, zones, point_id="point_id", poly_id="zone_id", kernel="gait"
+    )
+    return out.select("point_id", "zone_id", "fcode")
+
+
 def _sign(p, a, b):
     # (px-bx)*(ay-by) - (ax-bx)*(py-by) for text substitution
     px, py = p
@@ -274,6 +295,7 @@ FROM ranked WHERE rank <= {KNN_K}
 
 QUERIES = {
     "geo_pip": q_geo_pip,
+    "geo_pip_gait": q_geo_pip_gait,
     "geo_pip_salted": q_geo_pip_salted,
     "geo_knn": q_geo_knn,
     "geo_prox_pairs": q_geo_prox_pairs,
@@ -285,6 +307,7 @@ QUERIES = {
 
 ORACLES = {
     "geo_pip": ORACLE_GEO_PIP,
+    "geo_pip_gait": ORACLE_GEO_PIP,
     "geo_pip_salted": ORACLE_GEO_PIP,
     "geo_knn": ORACLE_GEO_KNN,
     "geo_prox_pairs": ORACLE_GEO_PROX,
