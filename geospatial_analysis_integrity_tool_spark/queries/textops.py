@@ -119,14 +119,14 @@ HAVING COUNT(*) > 1
 # The cap is CORPUS-RELATIVE (round-4 sf1 stress finding): with an absolute
 # cap, scaling the corpus 10x with a duplication factor of ~10 pushed every
 # near-dup shingle's DF past the cap and the operator silently reported ~0
-# pairs.  df_cap(n) = clamp(0.004 * n_docs, 20, 500): unchanged at the
+# pairs.  df_cap(n) = clamp(0.002 * n_docs, 20, 500): unchanged at the
 # sf0.01 gate (20), grows with corpus so duplication-inflated DFs stay
 # below it, and the 500 ceiling bounds the k^2-per-shingle candidate cost
 # (at 10^12 docs the capped-exact path is the verifier; the banded MinHash
 # path dedup_minhash_lsh, which has no DF explosion, is the primary).
 SHINGLE_DF_CAP = 20
 SHINGLE_DF_CAP_MAX = 500
-SHINGLE_DF_FRAC = 0.004
+SHINGLE_DF_FRAC = 0.002
 CAND_MIN_SUPPORT = 2
 
 
