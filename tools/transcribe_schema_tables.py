@@ -264,7 +264,87 @@ def emit_all_models() -> None:
     print("schema_models.json:", path.stat().st_size, "bytes")
 
 
+
+
+def emit_mgcp_combos() -> None:
+    """MGCP illegal/warn area-overlap class-pair lists (mgcp_illegals.c:25,
+    :516, :4244, :4734; consumed via Mgcp_*AreaCombos, interface2.c:327)."""
+    text = (REF / "mgcp_illegals.c").read_text(errors="replace")
+    data = {}
+    for name in (
+        "MGCP3_IllegalAreaCombos",
+        "MGCP3_WarnAreaCombos",
+        "MGCP4_IllegalAreaCombos",
+        "MGCP4_WarnAreaCombos",
+    ):
+        flat = parse_string_array(text, name)
+        assert len(flat) % 2 == 0, (name, len(flat))
+        data[name] = list(zip(flat[::2], flat[1::2]))
+        print(name, len(data[name]), "pairs")
+    out = (
+        '''"""MGCP illegal / warning area-overlap class-pair lists at REAL size.
+
+Transcribed from the reference\'s MIT-licensed public data table
+(mgcp_illegals.c:25 MGCP3_IllegalAreaCombos, :516 MGCP3_WarnAreaCombos,
+:4244/:4734 the MGCP4 lists; consumed via the Mgcp_*AreaCombos pointers,
+interface2.c:327-361, to gate the AOVERLAPA-family checks).  Pure data.
+"""
+
+'''
+    )
+    for name, pairs in data.items():
+        out += f"{name.upper()} = {pairs!r}\n\n"
+    (OUT / "mgcp_combos.py").write_text(out)
+
+
+
+
+#: models shipping a second, WIDER "nunanpo" enum domain (No-Unknown /
+#: Null / Populated-Only sentinel values; allow_nunanpo modes TT.c:23278)
+NUNANPO_MODELS = {
+    "D4": ("d4", "D4"),
+    "DFDD": ("dfdd", "DFDD"),
+    "FLDB": ("fldb", "FLDB"),
+    "GGDM3": ("ggdm3", "GGDM3"),
+    "NFDD": ("nfdd", "NFDD"),
+    "UFD1": ("ufd1", "UFD1"),
+    "UFD2": ("ufd2", "UFD2"),
+    "UFD3": ("ufd3", "UFD3"),
+}
+
+
+def emit_nunanpo() -> None:
+    """Per-attribute nunanpo enum slices ({stem}_nunanpo_enum.c:
+    {P}_nunanpo_enum_codes + _attr_enum_count/_start, same slicing as the
+    strict domain) -> schema_nunanpo.json."""
+    import json
+
+    out = {}
+    for model, (stem, prefix) in NUNANPO_MODELS.items():
+        text = (REF / f"{stem}_nunanpo_enum.c").read_text(errors="replace")
+        atext = (REF / f"{stem}_attr.c").read_text(errors="replace")
+        attrs = parse_string_array(atext, f"{prefix}_attr_codes")
+        codes = parse_string_array(text, f"{prefix}_nunanpo_enum_codes")
+        counts = parse_int_array(text, f"{prefix}_nunanpo_attr_enum_count")
+        starts = parse_int_array(text, f"{prefix}_nunanpo_attr_enum_start")
+        assert len(counts) == len(starts) == len(attrs), model
+        out[model] = {
+            a: codes[s : s + c]
+            for a, c, s in zip(attrs, counts, starts)
+            if c > 0 and 0 <= s and s + c <= len(codes)
+        }
+        print(
+            f"{model}: {sum(len(v) for v in out[model].values())} nunanpo"
+            f" enum values over {len(out[model])} attrs"
+        )
+    path = OUT / "schema_nunanpo.json"
+    path.write_text(json.dumps(out, separators=(",", ":")))
+    print("schema_nunanpo.json:", path.stat().st_size, "bytes")
+
+
 if __name__ == "__main__":
     emit_isf()
     emit_tds6()
     emit_all_models()  # supersedes the older two-model emit_labels()
+    emit_mgcp_combos()
+    emit_nunanpo()
