@@ -316,6 +316,165 @@ def point_inside_poly_gait(px, py, X, Y, V=None) -> np.ndarray:
     return (crossing.sum(axis=1) % 2).astype(np.int32)
 
 
+MY2DSENTINEL = 1.3070057  # GAIT_API.h:32
+SENTINEL_SMIDGE = 0.0000001  # GAIT_API.h:33
+
+
+def tempis2d_gait(v) -> np.ndarray:
+    """tempis2D, SEEIT_API.c:2840 — sentinel-z window compare."""
+    v = np.asarray(v, dtype=np.float64)
+    return (
+        ~(v > (MY2DSENTINEL + SENTINEL_SMIDGE))
+        & ~(v < (MY2DSENTINEL - SENTINEL_SMIDGE))
+    ).astype(np.int32)
+
+
+def is_sentinel_z_gait(v, count_nunanpo: int = 0, tds_mode: bool = False) -> np.ndarray:
+    """IsSentinelZvalue, TT.c:1589 — 2-D sentinel, -50000 no-elevation,
+    and (non-TDS schemas, when NUNANPO allowed) the integer-valued
+    -32768..-32764 NUNANPO sentinels."""
+    v = np.asarray(v, dtype=np.float64)
+    is2d = tempis2d_gait(v).astype(bool)
+    ans = np.zeros(v.shape, dtype=bool)
+    if tds_mode:
+        ans = v == -50000.0
+    else:
+        if count_nunanpo > 0:
+            in_win = (-32768 <= v) & (v <= -32764)
+            ti = v.astype(np.int64)
+            ans = in_win & (ti.astype(np.float64) == v)
+        ans = ans | (v == -50000.0)
+    return (ans | is2d).astype(np.int32)
+
+
+def distance3d_gait(x1, y1, z1, x2, y2, z2, xt: float = 0.0, yt: float = 0.0,
+                    euclidean: bool = False, count_nunanpo: int = 0,
+                    tds_mode: bool = False) -> np.ndarray:
+    """Distance3D, TT.c:7211 — planar distance when either z is a sentinel,
+    else the 2-D-sentinel-guarded 3-D hypotenuse."""
+    d2 = distance_gait(x1, y1, x2, y2, xt, yt, euclidean)
+    z1 = np.asarray(z1, dtype=np.float64)
+    z2 = np.asarray(z2, dtype=np.float64)
+    s1 = is_sentinel_z_gait(z1, count_nunanpo, tds_mode).astype(bool)
+    s2 = is_sentinel_z_gait(z2, count_nunanpo, tds_mode).astype(bool)
+    both3d = (tempis2d_gait(z1) == 0) & (tempis2d_gait(z2) == 0)
+    sq = d2 * d2
+    sq3 = np.where(both3d, sq + (z1 - z2) * (z1 - z2), sq)
+    return np.where(s1 | s2, d2, np.sqrt(sq3))
+
+
+def point_to_full_line_dist2d_gait(px, py, lx1, ly1, lx2, ly2) -> np.ndarray:
+    """PointToFullLineDist2D, TT.c:8996 — |Ax+By+C| / sqrt(A^2+B^2)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    A, B, C = line_equation_gait(lx1, ly1, lx2, ly2)
+    temp = A * px
+    temp = temp + B * py
+    temp = temp + C
+    temp = np.where(temp < 0, 0.0 - temp, temp)
+    temp2 = np.sqrt((A * A) + (B * B))
+    return temp / temp2
+
+
+def point_inside_triangle_gait(x, y, x1, y1, x2, y2, x3, y3) -> np.ndarray:
+    """PointInsideTriangle, TT.c:6981 — consistent-side-sign test, but
+    DEGENERATE (area < 0.1) triangles fall back to PointInsidePoly."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    x2 = np.asarray(x2, dtype=np.float64)
+    y2 = np.asarray(y2, dtype=np.float64)
+    x3 = np.asarray(x3, dtype=np.float64)
+    y3 = np.asarray(y3, dtype=np.float64)
+    area = triangle_xy_surface_area_gait(x1, y1, x2, y2, x3, y3)
+    c1 = ((x - x1) * (y2 - y1)) - ((x2 - x1) * (y - y1))
+    c2 = ((x - x2) * (y3 - y2)) - ((x3 - x2) * (y - y2))
+    c3 = ((x - x3) * (y1 - y3)) - ((x1 - x3) * (y - y3))
+    signs = ((c1 <= 0) & (c2 <= 0) & (c3 <= 0)) | (
+        (c1 >= 0) & (c2 >= 0) & (c3 >= 0)
+    )
+    out = signs.astype(np.int32)
+    small = area < 0.1
+    if np.any(small):
+        idx = np.where(np.broadcast_to(small, out.shape))[0]
+        X = np.stack(
+            [
+                np.broadcast_to(x1, out.shape)[idx],
+                np.broadcast_to(x2, out.shape)[idx],
+                np.broadcast_to(x3, out.shape)[idx],
+            ],
+            axis=1,
+        )
+        Y = np.stack(
+            [
+                np.broadcast_to(y1, out.shape)[idx],
+                np.broadcast_to(y2, out.shape)[idx],
+                np.broadcast_to(y3, out.shape)[idx],
+            ],
+            axis=1,
+        )
+        out[idx] = point_inside_poly_gait(
+            np.broadcast_to(x, out.shape)[idx],
+            np.broadcast_to(y, out.shape)[idx],
+            X,
+            Y,
+        )
+    return out
+
+
+def line_segments_intersect_gait(xl, yl, xk, yk, xm, ym, xn, yn):
+    """LineSegmentsIntersect, TT.c:8933 — shared-endpoint early returns
+    (intersection = the shared vertex), absolute |det| < 1e-5 parallel
+    cutoff, parametric crossing point.  Returns (code, xi, yi)."""
+    xl = np.asarray(xl, dtype=np.float64)
+    yl = np.asarray(yl, dtype=np.float64)
+    xk = np.asarray(xk, dtype=np.float64)
+    yk = np.asarray(yk, dtype=np.float64)
+    xm = np.asarray(xm, dtype=np.float64)
+    ym = np.asarray(ym, dtype=np.float64)
+    xn = np.asarray(xn, dtype=np.float64)
+    yn = np.asarray(yn, dtype=np.float64)
+    shp = np.broadcast(xl, xm).shape
+    code = np.zeros(shp, dtype=np.int32)
+    xi = np.full(shp, np.nan)
+    yi = np.full(shp, np.nan)
+    # shared-endpoint chain (first match wins)
+    chain = [
+        ((xl == xm) & (yl == ym), xm, ym),
+        ((xk == xm) & (yk == ym), xm, ym),
+        ((xl == xn) & (yl == yn), xn, yn),
+        ((xk == xn) & (yk == yn), xn, yn),
+    ]
+    assigned = np.zeros(shp, dtype=bool)
+    for mask, mx, my in chain:
+        sel = mask & ~assigned
+        code[sel] = 1
+        xi[sel] = np.broadcast_to(mx, shp)[sel]
+        yi[sel] = np.broadcast_to(my, shp)[sel]
+        assigned |= sel
+    xlk = xl - xk
+    ylk = yl - yk
+    xnm = xn - xm
+    ynm = yn - ym
+    xmk = xm - xk
+    ymk = ym - yk
+    det = (xnm * ylk) - (ynm * xlk)
+    parallel = (-0.00001 < det) & (det < 0.00001)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        detinv = 1.0 / det
+        s = ((xnm * ymk) - (ynm * xmk)) * detinv
+        t = (xlk * ymk - ylk * xmk) * detinv
+        cross = (
+            ~assigned & ~parallel
+            & (s >= 0.0) & (s <= 1.0) & (t >= 0.0) & (t <= 1.0)
+        )
+        code[cross] = 1
+        xi[cross] = (xk + xlk * s)[cross]
+        yi[cross] = (yk + ylk * s)[cross]
+    return code, xi, yi
+
+
 def point_inside_poly_gait_ring(px, py, ring_x, ring_y) -> np.ndarray:
     """Many points against ONE ring — reference-exact twin of
     geometry.pip_ray_cast_ring (drops an explicitly repeated closing vertex

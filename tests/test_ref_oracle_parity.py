@@ -344,3 +344,93 @@ def test_production_segments_intersect_agreement():
     det = (x43 * y12) - (y43 * x12)
     generic = np.abs(det) > 1e-3
     assert (fast[generic] == (code[generic] > 0)).all()
+
+
+def test_sentinel_z_family_bitexact(oracle):
+    """tempis2D (SEEIT_API.c:2840), IsSentinelZvalue (TT.c:1589) incl. the
+    NUNANPO -32768..-32764 integer window and the TDS -50000 branch, and
+    Distance3D (TT.c:7211) sentinel-guarded hypotenuse."""
+    rng = np.random.default_rng(41)
+    N = 30000
+    v = np.concatenate(
+        [
+            rng.uniform(-6e4, 6e4, N),
+            np.array(
+                [
+                    1.3070057, 1.30700575, 1.3070058, -50000.0,
+                    -32768.0, -32767.5, -32764.0, -32763.9999,
+                ]
+            ),
+        ]
+    )
+    m = gp.tempis2d_gait(v)
+    r = np.array([oracle.tempis2d(float(x)) for x in v])
+    assert (m == r).all()
+    for cn in (0, 1):
+        m = gp.is_sentinel_z_gait(v, cn)
+        r = np.array([oracle.is_sentinel_z(float(x), cn) for x in v])
+        assert (m == r).all(), f"count_nunanpo={cn}"
+    oracle.set_attr_tds(True)
+    m = gp.is_sentinel_z_gait(v, 0, tds_mode=True)
+    r = np.array([oracle.is_sentinel_z(float(x), 0) for x in v])
+    oracle.set_attr_tds(False)
+    assert (m == r).all()
+
+    a = rng.uniform(-5e5, 5e5, (4, N))
+    z = rng.uniform(-60000, 9000, (2, N))
+    z[0, :300] = 1.3070057
+    z[1, 300:600] = -50000.0
+    z[0, 600:900] = -32768.0
+    m = gp.distance3d_gait(a[0], a[1], z[0], a[2], a[3], z[1])
+    r = np.array(
+        [
+            oracle.distance3d(a[0, i], a[1, i], z[0, i], a[2, i], a[3, i], z[1, i])
+            for i in range(N)
+        ]
+    )
+    assert _ieee_equal(m, r).all()
+
+
+def test_triangle_and_full_line_bitexact(oracle):
+    """PointInsideTriangle (TT.c:6981, incl. the area<0.1 PointInsidePoly
+    fallback) and PointToFullLineDist2D (TT.c:8996)."""
+    rng = np.random.default_rng(43)
+    N = 30000
+    t = rng.uniform(-1000, 1000, (8, N))
+    t[2:, :2000] = rng.uniform(-0.1, 0.1, (6, 2000))  # degenerate triangles
+    m = gp.point_inside_triangle_gait(*t)
+    r = np.array(
+        [oracle.point_inside_triangle(*map(float, t[:, i])) for i in range(N)]
+    )
+    assert (m == r).all()
+
+    b = rng.uniform(-1e5, 1e5, (6, N))
+    m2 = gp.point_to_full_line_dist2d_gait(*b)
+    r2 = np.array(
+        [oracle.point_to_full_line_dist2d(*map(float, b[:, i])) for i in range(N)]
+    )
+    assert _ieee_equal(m2, r2).all()
+
+
+def test_line_segments_intersect_bitexact(oracle):
+    """LineSegmentsIntersect (TT.c:8933): shared-endpoint early returns,
+    absolute 1e-5 parallel cutoff, crossing point — code and xi/yi exact."""
+    rng = np.random.default_rng(47)
+    N = 40000
+    s = rng.uniform(-1e5, 1e5, (8, N))
+    s[4, :3000] = s[0, :3000]
+    s[5, :3000] = s[1, :3000]
+    s[4, 3000:6000] = s[0, 3000:6000] + 7.0
+    s[5, 3000:6000] = s[1, 3000:6000] + 3.0
+    s[6, 3000:6000] = s[2, 3000:6000] + 7.0
+    s[7, 3000:6000] = s[3, 3000:6000] + 3.0
+    mc, mx, my = gp.line_segments_intersect_gait(*s)
+    rc = np.empty(N, dtype=np.int32)
+    rx = np.empty(N)
+    ry = np.empty(N)
+    for i in range(N):
+        rc[i], rx[i], ry[i] = oracle.line_segments_intersect(*map(float, s[:, i]))
+    assert (mc == rc).all()
+    pos = mc > 0
+    assert _ieee_equal(mx[pos], rx[pos]).all()
+    assert _ieee_equal(my[pos], ry[pos]).all()

@@ -41,16 +41,22 @@ DEFAULT_REFERENCE_DIR = "/root/reference/GAIT 26 Source"
 # (source file, function name) in dependency-safe order.
 _FUNCTIONS = [
     ("utilities.c", "TruncateToNdigits"),
+    ("SEEIT_API.c", "tempis2D"),
+    ("TT.c", "IsSentinelZvalue"),
     ("TT.c", "LineEquation"),
     ("TT.c", "EuclideanDistance"),
     ("TT.c", "Distance"),
+    ("TT.c", "Distance3D"),
     ("TT.c", "TwoDecimalDistance"),
     ("TT.c", "EqualWithinTolerance"),
     ("TT.c", "NearlyEqual"),
     ("TT.c", "PointToLineDist2D"),
+    ("TT.c", "PointToFullLineDist2D"),
     ("TT.c", "PointOnLineSegment"),
     ("TT.c", "TriangleXYsurfaceArea"),
     ("TT.c", "PointInsidePoly"),
+    ("TT.c", "PointInsideTriangle"),
+    ("TT.c", "LineSegmentsIntersect"),
     ("TT.c", "PointOnQuarterDegreeBoundary"),
     ("moregeomchecks.c", "TwoPointsOnSameSideOfLine"),
     ("moregeomchecks.c", "AllCaseLineSegmentsIntersect"),
@@ -62,14 +68,33 @@ _SHIM = """
 
 #define PIvalue 3.141592653589793
 #define WGS84degreeLength 111319.5
+#define MY2DSENTINEL 1.3070057
+#define SENTINEL_SMIDGE .0000001
 
 double PI = PIvalue;
 double Xtranslation = 0.0;
 double Ytranslation = 0.0;
 int AlwaysUseEuclidean = 0;
 int RefOracleCtype = 1;
+int UseNUNANPO = 0;
+int RefOracleAttrTDS = 0;
+int RefOracleAttrGGDM = 0;
 
 int Ctype(void) { return RefOracleCtype; }
+int ATTRTYPE_ANY_TDS(void) { return RefOracleAttrTDS; }
+int ATTRTYPE_ANY_GGDM(void) { return RefOracleAttrGGDM; }
+
+int tempis2D(double val);
+int IsSentinelZvalue(double v, int CountNUNANPOvaluesAs2D);
+double Distance3D(double x1, double y1, double z1,
+                  double x2, double y2, double z2);
+double PointToFullLineDist2D(double px, double py, double lx1, double ly1,
+                             double lx2, double ly2);
+int PointInsideTriangle(double x, double y, double x1, double y1,
+                        double x2, double y2, double x3, double y3);
+int LineSegmentsIntersect(double xl, double yl, double xk, double yk,
+                          double xm, double ym, double xn, double yn,
+                          double *xi, double *yi);
 
 double TruncateToNdigits(double x, int digits);
 void LineEquation(double x1, double y1, double x2, double y2,
@@ -244,6 +269,18 @@ class RefOracle:
         L.AllCaseLineSegmentsIntersect.argtypes = [D] * 9 + [PD, PD]
         L.LineEquation.restype = None
         L.LineEquation.argtypes = [D, D, D, D, PD, PD, PD]
+        L.tempis2D.restype = I
+        L.tempis2D.argtypes = [D]
+        L.IsSentinelZvalue.restype = I
+        L.IsSentinelZvalue.argtypes = [D, I]
+        L.Distance3D.restype = D
+        L.Distance3D.argtypes = [D, D, D, D, D, D]
+        L.PointToFullLineDist2D.restype = D
+        L.PointToFullLineDist2D.argtypes = [D, D, D, D, D, D]
+        L.PointInsideTriangle.restype = I
+        L.PointInsideTriangle.argtypes = [D] * 8
+        L.LineSegmentsIntersect.restype = I
+        L.LineSegmentsIntersect.argtypes = [D] * 8 + [PD, PD]
 
     # -- globals ------------------------------------------------------------
     @property
@@ -314,6 +351,37 @@ class RefOracle:
         code = self._lib.AllCaseLineSegmentsIntersect(
             x1, y1, x2, y2, x3, y3, x4, y4, tolerance,
             ctypes.byref(xi), ctypes.byref(yi),
+        )
+        return code, xi.value, yi.value
+
+    def set_nunanpo(self, flag: bool) -> None:
+        ctypes.c_int.in_dll(self._lib, "UseNUNANPO").value = int(flag)
+
+    def set_attr_tds(self, flag: bool) -> None:
+        ctypes.c_int.in_dll(self._lib, "RefOracleAttrTDS").value = int(flag)
+
+    def tempis2d(self, v) -> int:
+        return self._lib.tempis2D(v)
+
+    def is_sentinel_z(self, v, count_nunanpo) -> int:
+        return self._lib.IsSentinelZvalue(v, count_nunanpo)
+
+    def distance3d(self, x1, y1, z1, x2, y2, z2) -> float:
+        return self._lib.Distance3D(x1, y1, z1, x2, y2, z2)
+
+    def point_to_full_line_dist2d(self, px, py, lx1, ly1, lx2, ly2) -> float:
+        return self._lib.PointToFullLineDist2D(px, py, lx1, ly1, lx2, ly2)
+
+    def point_inside_triangle(self, x, y, x1, y1, x2, y2, x3, y3) -> int:
+        return self._lib.PointInsideTriangle(x, y, x1, y1, x2, y2, x3, y3)
+
+    def line_segments_intersect(
+        self, xl, yl, xk, yk, xm, ym, xn, yn
+    ) -> tuple[int, float, float]:
+        xi = ctypes.c_double(0.0)
+        yi = ctypes.c_double(0.0)
+        code = self._lib.LineSegmentsIntersect(
+            xl, yl, xk, yk, xm, ym, xn, yn, ctypes.byref(xi), ctypes.byref(yi)
         )
         return code, xi.value, yi.value
 
