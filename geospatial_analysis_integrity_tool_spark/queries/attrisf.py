@@ -22,53 +22,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tds_isf_table import ISF_HEADERS, ISF_MATRIX, ISF_N
+from ..functions.tds_isf_table import (
+    ISF6_HEADERS,
+    ISF6_MATRIX,
+    ISF6_N,
+    ISF_HEADERS,
+    ISF_MATRIX,
+    ISF_N,
+)
 from ..sources.synthetic import register_testdata_views
 
-#: feature -> (row header, col header) class-code indexes, derived from part
-_FEAT_PAIR_SQL = f"""
+
+def _feat_pair_sql(n: int) -> str:
+    """feature -> (row header, col header) class-code indexes, from part."""
+    return f"""
 SELECT p_partkey AS feature_id,
-       CAST(p_partkey % {ISF_N} AS INT) AS hi,
-       CAST((p_partkey * 5) % {ISF_N} AS INT) AS hj
+       CAST(p_partkey % {n} AS INT) AS hi,
+       CAST((p_partkey * 5) % {n} AS INT) AS hj
 FROM part
 """
 
 
-def _cell_expr(mat_ref: str) -> str:
+def _cell_expr(mat_ref: str, n: int) -> str:
     """1-char cell code at (hi, hj) — row-major, 1-based substring."""
-    return f"substring({mat_ref}, hi * {ISF_N} + hj + 1, 1)"
+    return f"substring({mat_ref}, hi * {n} + hj + 1, 1)"
 
 
-def q_isf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_testdata_views(spark, sf_dir)
-    feats = spark.sql(_FEAT_PAIR_SQL)
-    headers = spark.createDataFrame(
-        list(enumerate(ISF_HEADERS)), "idx int, header string"
-    )
-    lit_mat = "'" + ISF_MATRIX + "'"
-    return (
-        feats.withColumn("code", F.expr(_cell_expr(lit_mat)))
-        .filter(F.col("code") != "n")
-        .join(
-            F.broadcast(headers.selectExpr("idx AS hi", "header AS header_a")), "hi"
+def _make_isf_query(headers: list[str], matrix: str, n: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_testdata_views(spark, sf_dir)
+        feats = spark.sql(_feat_pair_sql(n))
+        hdr = spark.createDataFrame(
+            list(enumerate(headers)), "idx int, header string"
         )
-        .join(
-            F.broadcast(headers.selectExpr("idx AS hj", "header AS header_b")), "hj"
+        lit_mat = "'" + matrix + "'"
+        return (
+            feats.withColumn("code", F.expr(_cell_expr(lit_mat, n)))
+            .filter(F.col("code") != "n")
+            .join(
+                F.broadcast(hdr.selectExpr("idx AS hi", "header AS header_a")),
+                "hi",
+            )
+            .join(
+                F.broadcast(hdr.selectExpr("idx AS hj", "header AS header_b")),
+                "hj",
+            )
+            .select("feature_id", "header_a", "header_b", "code")
         )
-        .select("feature_id", "header_a", "header_b", "code")
-    )
+
+    return q
 
 
-def _header_values() -> str:
-    rows = ", ".join(f"({i}, '{h}')" for i, h in enumerate(ISF_HEADERS))
-    return f"(VALUES {rows}) AS h(idx, header)"
-
-
-ORACLE_ISF_MATRIX = f"""
-WITH feats AS ({_FEAT_PAIR_SQL}),
-headers AS (SELECT * FROM {_header_values()}),
+def _make_isf_oracle(headers: list[str], matrix: str, n: int) -> str:
+    rows = ", ".join(f"({i}, '{h}')" for i, h in enumerate(headers))
+    return f"""
+WITH feats AS ({_feat_pair_sql(n)}),
+headers AS (SELECT * FROM (VALUES {rows}) AS h(idx, header)),
 coded AS (
-  SELECT feature_id, hi, hj, {_cell_expr("'" + ISF_MATRIX + "'")} AS code
+  SELECT feature_id, hi, hj, {_cell_expr("'" + matrix + "'", n)} AS code
   FROM feats
 )
 SELECT c.feature_id, ha.header AS header_a, hb.header AS header_b, c.code
@@ -78,5 +89,12 @@ JOIN headers hb ON hb.idx = c.hj
 WHERE c.code <> 'n'
 """
 
-QUERIES = {"isf_matrix_checks": q_isf_matrix}
-ORACLES = {"isf_matrix_checks": ORACLE_ISF_MATRIX}
+
+QUERIES = {
+    "isf_matrix_checks": _make_isf_query(ISF_HEADERS, ISF_MATRIX, ISF_N),
+    "isf_matrix_tds6": _make_isf_query(ISF6_HEADERS, ISF6_MATRIX, ISF6_N),
+}
+ORACLES = {
+    "isf_matrix_checks": _make_isf_oracle(ISF_HEADERS, ISF_MATRIX, ISF_N),
+    "isf_matrix_tds6": _make_isf_oracle(ISF6_HEADERS, ISF6_MATRIX, ISF6_N),
+}

@@ -57,47 +57,68 @@ def emit_isf() -> None:
     text = (REF / "tds_illegals.c").read_text(errors="replace")
     headers = parse_string_array(text, "TDS4_ISF_Headers")
     matrix = parse_char_array(text, "TDS4_ISF")
+    headers6 = parse_string_array(text, "TDS6_ISF_Headers")
+    matrix6 = parse_char_array(text, "TDS6_ISF")
     n = len(headers)
+    n6 = len(headers6)
     assert len(matrix) == n * n, (len(headers), len(matrix))
     assert set(matrix) <= set("negw")
-    hdr_lines = ",\n    ".join(
-        ", ".join(f"'{h}'" for h in headers[i : i + 10])
-        for i in range(0, n, 10)
-    )
-    mat_lines = "\n    ".join(
-        f'"{matrix[i:i + n]}"' for i in range(0, n * n, n)
-    )
-    out = f'''"""TDS illegal-structure-formation (ISF) matrix at REAL size.
+    assert len(matrix6) == n6 * n6 and set(matrix6) <= set("negw")
+
+    def _hdr_lines(hs, k):
+        return ",\n    ".join(
+            ", ".join(f"'{h}'" for h in hs[i : i + 10]) for i in range(0, k, 10)
+        )
+
+    def _mat_lines(m, k):
+        return "\n    ".join(f'"{m[i:i + k]}"' for i in range(0, k * k, k))
+
+    out = f'''"""TDS illegal-structure-formation (ISF) matrices at REAL size.
 
 Transcribed from the reference's MIT-licensed public data table
-(tds_illegals.c:16-60: ``TDS4_ISF_Headers[225]`` + the 225x225
-``TDS4_ISF`` cell matrix; consumed row-major as ``TDS_ISF[k*N + j]`` in
-interface2.c:8051-8075).  Cell codes: 'n' = not applicable (lower
-triangle — the matrix is upper-triangular), 'e'/'w' = the class pair
-triggers an error / warning structure check, 'g' = pair allowed.
+(tds_illegals.c:16-60 ``TDS4_ISF_Headers[225]`` + the 225x225 ``TDS4_ISF``
+cell matrix; :259-269 ``TDS6_ISF_Headers[228]`` + the 228x228 ``TDS6_ISF``;
+consumed row-major as ``TDS_ISF[k*N + j]`` in interface2.c:8051-8075 —
+the active model selects which pair, interface2.c:327ff).  Cell codes:
+'n' = not applicable (lower triangle — the matrices are upper-triangular),
+'e'/'w' = the class pair triggers an error / warning structure check,
+'g' = pair allowed.
 
-Pure data, no logic.  ``ISF_MATRIX`` is one {n * n}-char string indexed
-``ISF_MATRIX[i * {n} + j]`` — exactly the C layout, so both the Spark
-plan and the DuckDB oracle can read cells with ``substring()`` instead
-of joining a {n}x{n} pair table.
+Pure data, no logic.  Each matrix is ONE string indexed
+``MATRIX[i * N + j]`` — exactly the C layout, so both the Spark plan and
+the DuckDB oracle can read cells with ``substring()`` instead of joining
+an N x N pair table.
 """
 
 ISF_N = {n}
 
 ISF_HEADERS = [
-    {hdr_lines},
+    {_hdr_lines(headers, n)},
 ]
 
 ISF_MATRIX = (
-    {mat_lines}
+    {_mat_lines(matrix, n)}
+)
+
+ISF6_N = {n6}
+
+ISF6_HEADERS = [
+    {_hdr_lines(headers6, n6)},
+]
+
+ISF6_MATRIX = (
+    {_mat_lines(matrix6, n6)}
 )
 
 assert len(ISF_HEADERS) == ISF_N
 assert len(ISF_MATRIX) == ISF_N * ISF_N
+assert len(ISF6_HEADERS) == ISF6_N
+assert len(ISF6_MATRIX) == ISF6_N * ISF6_N
 '''
     (OUT / "tds_isf_table.py").write_text(out)
     counts = {c: matrix.count(c) for c in "negw"}
-    print("tds_isf_table.py:", n, "headers,", counts)
+    counts6 = {c: matrix6.count(c) for c in "negw"}
+    print("tds_isf_table.py:", n, "+", n6, "headers,", counts, counts6)
 
 
 def emit_tds6() -> None:
