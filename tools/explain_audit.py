@@ -222,6 +222,62 @@ AUDIT = {
         "note": "both top-k frames are k-rows-per-query; exact side "
         "broadcast into the recall join",
     },
+    # round-4 additions
+    "isf_matrix_checks": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "MapInPandas", "ArrowEvalPython"],
+        "note": "the 225x225 matrix is a substring() into one string "
+        "literal — a pure scalar projection; only the 225-row header "
+        "roster joins (broadcast)",
+    },
+    "attr_tds6_domains": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "MapInPandas", "ArrowEvalPython"],
+        "note": "all domain tables broadcast (7.7k-row enum table ~100 KB); "
+        "feature scan never shuffles",
+    },
+    "attr_nfdd_domains": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "MapInPandas", "ArrowEvalPython"],
+        "note": "largest model (28k enum rows) still broadcast-only",
+    },
+    "utm_ingest_geodetic": {
+        "want": ["Project"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+        "note": "24-stage inverse transverse Mercator is pure scalar "
+        "projection riding the scan — zero shuffle, zero Python",
+    },
+    "utm_pip_join": {
+        "want": ["BroadcastHashJoin", "MapInPandas"],
+        "forbid": ["SortMergeJoin"],
+        "note": "UTM transform feeds the PIP cell join; rand-taint barrier "
+        "keeps the stage chain materialized once (not re-inlined per "
+        "cell-key reference)",
+    },
+    "conditions_labels": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin"],
+        "note": "label lookup is one broadcast join on code1 over the "
+        "185-row class-name table",
+    },
+    "mgcp_overlap_combos": {
+        "want": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "MapInPandas"],
+        "note": "canonicalized pair key against two broadcast combo lists",
+    },
+    "dem_geotiff_compressed_stats": {
+        "want": ["MapInPandas"],
+        "forbid": ["Exchange"],
+        "note": "one task per GeoTIFF file; PackBits/LZW decode inside the "
+        "scan kernel, aggregation is per-file (no shuffle)",
+    },
+    "multimodal_decode": {
+        "want": ["MapInPandas"],
+        "forbid": ["Exchange"],
+        "note": "decode facts reduce per media row inside the kernel",
+    },
 }
 
 
