@@ -52,3 +52,21 @@ def class_labels(name: str) -> dict[str, str]:
 def attr_labels(name: str) -> dict[str, str]:
     m = model(name)
     return dict(zip(m["attrs"], m["attr_names"]))
+
+
+@lru_cache(maxsize=None)
+def enum_value_labels(name: str) -> dict[tuple[str, str], str]:
+    """(attr, enum code) -> enum NAME — GetEELabel semantics
+    (share_linux.h:1080; gifd_functionality.c:121 indexes the name array
+    at the same per-attribute slice position as the code)."""
+    m = model(name)
+    out: dict[tuple[str, str], str] = {}
+    for a, codes in m["enums"].items():
+        names = m["enum_labels"][a]
+        for c, n in zip(codes, names):
+            out[(a, c)] = n
+    return out
+
+
+def ee_label(name: str, attr: str, value: str) -> str:
+    return enum_value_labels(name).get((attr, value), "Error")

@@ -228,3 +228,105 @@ WHERE CASE WHEN fcode NOT IN (SELECT fcode0 FROM classes) THEN 'MGCP_BADCLASS'
 
 QUERIES = {"attr_mgcp3_domains": q_attr_mgcp3_domains}
 ORACLES = {"attr_mgcp3_domains": _oracle()}
+
+
+# --- attr_enum_labels: GetEELabel value resolution (share_linux.h:1080) --------
+#
+# The condition report's human-readable VALUE column: (attr, enum code) ->
+# enum NAME via the transcribed per-attribute name slices
+# (functions/schema_models.json enum_labels; gifd_functionality.c:121
+# indexes the names array at the code's slice position).  Unknown values
+# resolve to 'Error' (the reference's out-of-range convention).
+
+def q_attr_enum_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.schema_models import enum_value_labels
+
+    register_testdata_views(spark, sf_dir)
+    rows = [
+        (a, v, n) for (a, v), n in sorted(enum_value_labels("MGCP3").items())
+    ]
+    lab = F.broadcast(
+        spark.createDataFrame(rows, "attr string, value string, label string")
+    )
+    e = _fixture_exprs("o_orderkey")
+    feats = (
+        spark.table("orders")
+        .filter("o_orderkey < 3000")
+        .selectExpr(
+            "o_orderkey AS feature_id",
+            f"{e['aidx']} AS aidx",
+            f"{e['eidx_seed']} AS eidx_seed",
+            f"{e['bad_enum']} AS bad_enum",
+        )
+    )
+    attrs = spark.createDataFrame(
+        [(i, a, _N_ENUMS.get(a, 0)) for i, a in enumerate(ATTR_CODES)],
+        "aidx long, attr string, n_enums long",
+    )
+    enums = spark.createDataFrame(
+        _ENUM_ROWS, "e_attr string, eidx long, evalue string"
+    )
+    resolved = (
+        feats.join(F.broadcast(attrs), "aidx")
+        .filter("n_enums > 0")
+        .withColumn("ekey", F.expr("eidx_seed % n_enums"))
+        .join(
+            F.broadcast(enums),
+            (F.col("attr") == F.col("e_attr")) & (F.col("ekey") == F.col("eidx")),
+        )
+        .selectExpr(
+            "feature_id", "attr",
+            "CASE WHEN bad_enum THEN '999999' ELSE evalue END AS value",
+        )
+    )
+    return (
+        resolved.join(lab, ["attr", "value"], "left")
+        .selectExpr(
+            "feature_id", "attr", "value",
+            "COALESCE(label, 'Error') AS label",
+        )
+    )
+
+
+def _enum_label_oracle() -> str:
+    from ..functions.schema_models import enum_value_labels
+
+    e = _fixture_exprs("o_orderkey")
+    lab_rows = ", ".join(
+        "('{}', '{}', '{}')".format(
+            a.replace("'", "''"), v.replace("'", "''"), n.replace("'", "''")
+        )
+        for (a, v), n in sorted(enum_value_labels("MGCP3").items())
+    )
+    attr_rows = ", ".join(
+        f"({i}, '{a}', {_N_ENUMS.get(a, 0)})" for i, a in enumerate(ATTR_CODES)
+    )
+    enum_rows = ", ".join(
+        f"('{r[0]}', {r[1]}, '{r[2]}')" for r in _ENUM_ROWS
+    )
+    return f"""
+WITH labels AS (SELECT * FROM (VALUES {lab_rows}) t(attr, value, label)),
+attrs AS (SELECT * FROM (VALUES {attr_rows}) t(aidx, attr, n_enums)),
+enums AS (SELECT * FROM (VALUES {enum_rows}) t(e_attr, eidx, evalue)),
+feats AS (
+  SELECT o_orderkey AS feature_id,
+         {e['aidx']} AS aidx,
+         {e['eidx_seed']} AS eidx_seed,
+         {e['bad_enum']} AS bad_enum
+  FROM orders WHERE o_orderkey < 3000
+),
+resolved AS (
+  SELECT f.feature_id, a.attr,
+         CASE WHEN f.bad_enum THEN '999999' ELSE en.evalue END AS value
+  FROM feats f
+  JOIN attrs a ON a.aidx = f.aidx AND a.n_enums > 0
+  JOIN enums en ON en.e_attr = a.attr AND en.eidx = f.eidx_seed % a.n_enums
+)
+SELECT r.feature_id, r.attr, r.value, COALESCE(l.label, 'Error') AS label
+FROM resolved r
+LEFT JOIN labels l ON l.attr = r.attr AND l.value = r.value
+"""
+
+
+QUERIES["attr_enum_labels"] = q_attr_enum_labels
+ORACLES["attr_enum_labels"] = _enum_label_oracle()

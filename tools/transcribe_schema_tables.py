@@ -255,6 +255,7 @@ def emit_all_models() -> None:
         anames = parse_string_array(atext, f"{prefix}_attr_names")
         types = parse_string_array(atext, f"{prefix}_attr_types")
         enum_codes = parse_string_array(etext, f"{prefix}_enum_codes")
+        enum_names = parse_string_array(etext, f"{prefix}_enum_names")
         counts = parse_int_array(etext, f"{prefix}_attr_enum_count")
         starts = parse_int_array(etext, f"{prefix}_attr_enum_start")
         assert len(classes) == len(cnames), model
@@ -262,8 +263,16 @@ def emit_all_models() -> None:
         assert len(counts) == len(starts) == len(attrs), (
             model, len(counts), len(starts), len(attrs)
         )
+        assert len(enum_names) == len(enum_codes), model
         enums = {
             a: enum_codes[s : s + c]
+            for a, c, s in zip(attrs, counts, starts)
+            if c > 0 and 0 <= s and s + c <= len(enum_codes)
+        }
+        # GetEELabel (share_linux.h:1080; gifd_functionality.c:121): the
+        # enum NAME at the same slice index as the code
+        enum_labels = {
+            a: enum_names[s : s + c]
             for a, c, s in zip(attrs, counts, starts)
             if c > 0 and 0 <= s and s + c <= len(enum_codes)
         }
@@ -274,6 +283,7 @@ def emit_all_models() -> None:
             "attr_names": anames,
             "attr_types": types,
             "enums": enums,
+            "enum_labels": enum_labels,
         }
         print(
             f"{model}: {len(classes)} classes, {len(attrs)} attrs,"
