@@ -103,6 +103,12 @@ HEADLINE = [
     "utm_ingest_geodetic",
     "utm_pip_join",
     "multimodal_decode",
+    "isf_matrix_tds6",
+    "attr_nfdd_domains",
+    "attr_nfdd_nunanpo",
+    "mgcp_overlap_combos",
+    "attr_enum_labels",
+    "geo_pip_gait",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -228,6 +228,7 @@ def pip_join_salted(
     ys: str = "ys",
     cell_deg: float = DEFAULT_CELL_DEG,
     target_rows_per_task: int = 100_000,
+    kernel: str = "fast",
 ) -> DataFrame:
     """pip_join with the hot-cell salt plan applied (north rule: "skew
     detected per-cell-histogram and hot cells split before shuffle").
