@@ -318,6 +318,31 @@ def point_inside_poly_gait(px, py, X, Y, V=None) -> np.ndarray:
 
 MY2DSENTINEL = 1.3070057  # GAIT_API.h:32
 SENTINEL_SMIDGE = 0.0000001  # GAIT_API.h:33
+ONE_RADIAN_IN_DEGREES = 57.29578  # TTshare.h:15 — GAIT's TRUNCATED constant,
+# deliberately not 57.29577951...; row parity requires reproducing it
+
+
+def radians_to_degrees_gait(v) -> np.ndarray:
+    """RadiansToDegrees, TT.c:6880 — multiply by the truncated constant,
+    then truncate to 5 decimals through a (long int) cast."""
+    v = np.asarray(v, dtype=np.float64)
+    deg = v * ONE_RADIAN_IN_DEGREES
+    dii = (deg * 100000.0).astype(np.int64)  # C (long int) truncates toward 0
+    return dii.astype(np.float64) / 100000.0
+
+
+def angle_between_line_segments_gait(lx1, ly1, lx2, ly2, x1, y1, x2, y2) -> np.ndarray:
+    """AngleBetweenLineSegments, TT.c:6895 — cos of the angle between the
+    two carrier lines via normalized LineEquation coefficients."""
+    A1, B1, _ = line_equation_gait(lx1, ly1, lx2, ly2)
+    A2, B2, _ = line_equation_gait(x1, y1, x2, y2)
+    d1 = (A1 * A2) + (B1 * B2)
+    d2 = (A1 * A1) + (B1 * B1)
+    d3 = (A2 * A2) + (B2 * B2)
+    d2 = d2 * d3
+    d2 = np.sqrt(d2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return d1 / d2
 
 
 def tempis2d_gait(v) -> np.ndarray:

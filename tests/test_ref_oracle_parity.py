@@ -434,3 +434,26 @@ def test_line_segments_intersect_bitexact(oracle):
     pos = mc > 0
     assert _ieee_equal(mx[pos], rx[pos]).all()
     assert _ieee_equal(my[pos], ry[pos]).all()
+
+
+def test_angle_family_bitexact(oracle):
+    """RadiansToDegrees (TT.c:6880 — GAIT's TRUNCATED 57.29578 constant +
+    5-decimal int-cast truncation) and AngleBetweenLineSegments
+    (TT.c:6895 — cos of angle via normalized line coefficients)."""
+    rng = np.random.default_rng(53)
+    N = 40000
+    v = np.concatenate(
+        [rng.uniform(-7, 7, N), np.array([0.0, 3.141592653589793, -1.5707963])]
+    )
+    m = gp.radians_to_degrees_gait(v)
+    r = np.array([oracle.radians_to_degrees(float(x)) for x in v])
+    assert _ieee_equal(m, r).all()
+
+    s = rng.uniform(-1e5, 1e5, (8, N))
+    s[2, :1000] = s[0, :1000]  # vertical first segment (x1 == x2 branch)
+    s[3, 1000:2000] = s[1, 1000:2000]  # horizontal first segment
+    m2 = gp.angle_between_line_segments_gait(*s)
+    r2 = np.array(
+        [oracle.angle_between_line_segments(*map(float, s[:, i])) for i in range(N)]
+    )
+    assert _ieee_equal(m2, r2).all()

@@ -44,6 +44,8 @@ _FUNCTIONS = [
     ("SEEIT_API.c", "tempis2D"),
     ("TT.c", "IsSentinelZvalue"),
     ("TT.c", "LineEquation"),
+    ("TT.c", "RadiansToDegrees"),
+    ("TT.c", "AngleBetweenLineSegments"),
     ("TT.c", "EuclideanDistance"),
     ("TT.c", "Distance"),
     ("TT.c", "Distance3D"),
@@ -69,6 +71,7 @@ _SHIM = """
 #define PIvalue 3.141592653589793
 #define WGS84degreeLength 111319.5
 #define MY2DSENTINEL 1.3070057
+#define OneRadianInDegrees 57.29578
 #define SENTINEL_SMIDGE .0000001
 
 double PI = PIvalue;
@@ -84,6 +87,10 @@ int Ctype(void) { return RefOracleCtype; }
 int ATTRTYPE_ANY_TDS(void) { return RefOracleAttrTDS; }
 int ATTRTYPE_ANY_GGDM(void) { return RefOracleAttrGGDM; }
 
+double RadiansToDegrees(double radianmeasure);
+double AngleBetweenLineSegments(double lx1, double ly1, double lx2,
+                                double ly2, double x1, double y1,
+                                double x2, double y2);
 int tempis2D(double val);
 int IsSentinelZvalue(double v, int CountNUNANPOvaluesAs2D);
 double Distance3D(double x1, double y1, double z1,
@@ -271,6 +278,10 @@ class RefOracle:
         L.LineEquation.argtypes = [D, D, D, D, PD, PD, PD]
         L.tempis2D.restype = I
         L.tempis2D.argtypes = [D]
+        L.RadiansToDegrees.restype = D
+        L.RadiansToDegrees.argtypes = [D]
+        L.AngleBetweenLineSegments.restype = D
+        L.AngleBetweenLineSegments.argtypes = [D] * 8
         L.IsSentinelZvalue.restype = I
         L.IsSentinelZvalue.argtypes = [D, I]
         L.Distance3D.restype = D
@@ -359,6 +370,12 @@ class RefOracle:
 
     def set_attr_tds(self, flag: bool) -> None:
         ctypes.c_int.in_dll(self._lib, "RefOracleAttrTDS").value = int(flag)
+
+    def radians_to_degrees(self, v) -> float:
+        return self._lib.RadiansToDegrees(v)
+
+    def angle_between_line_segments(self, *args) -> float:
+        return self._lib.AngleBetweenLineSegments(*args)
 
     def tempis2d(self, v) -> int:
         return self._lib.tempis2D(v)
