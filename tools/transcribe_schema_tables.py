@@ -22,11 +22,12 @@ Emits:
 
 from __future__ import annotations
 
+import os
 import re
 from pathlib import Path
 
-REF = Path("/root/reference/GAIT 26 Source")
-OUT = Path("/root/repo/geospatial_analysis_integrity_tool_spark/functions")
+REF = Path(os.environ.get("GAIT_REFERENCE_DIR", "/root/reference/GAIT 26 Source"))
+OUT = Path(__file__).resolve().parent.parent / "geospatial_analysis_integrity_tool_spark" / "functions"
 
 
 def _array_block(text: str, name: str) -> str:
