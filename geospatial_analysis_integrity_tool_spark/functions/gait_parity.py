@@ -618,6 +618,130 @@ def all_case_segments_intersect_gait(
 
 
 # ---------------------------------------------------------------------------
+# CalculateGeodeticCoordArea — TT.c:4200
+# ---------------------------------------------------------------------------
+
+def calculate_geodetic_coord_area_gait(
+    xs, ys, minx, miny, startindex, stopindex,
+    xt: float = 0.0, yt: float = 0.0,
+    min_native_x: float = 0.0, min_native_y: float = 0.0,
+):
+    """CalculateGeodeticCoordArea, TT.c:4200-4360 — the areal measurement
+    kernel behind SMALLAREA/SLIVER/PERIMLEN.  Exact transcription:
+
+    * exactly-3-vertex spans short-circuit to TriangleXYsurfaceArea on RAW
+      GAIT coords (plus a Distance-based perimeter over the span);
+    * otherwise every vertex converts to a local meters frame whose scale
+      is the cos at the average of ITS latitude and MinNativeY (per-vertex
+      scale, not one polygon-mean scale), offset by the (minx, miny) base
+      conversion, and the area accumulates the reference's own trapezoid
+      form ``(Xold - x[i]) * (Yold + y[i] - miny)`` — including its use of
+      the RAW miny parameter against converted coordinates, kept verbatim
+      for row parity;
+    * wrap-around spans (startindex > stopindex) walk through numverts.
+
+    Scalar (per ring); returns (area_m2, perimeter_m).
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    numverts = len(xs)
+
+    if startindex + 3 == stopindex:
+        perim = 0.0
+        tx = np.empty(3)
+        ty = np.empty(3)
+        for i in range(startindex, stopindex):
+            tx[i - startindex] = xs[i]
+            ty[i - startindex] = ys[i]
+            if i > startindex:
+                perim += float(
+                    distance_gait(xs[i - 1], ys[i - 1], xs[i], ys[i], xt, yt)
+                )
+            else:
+                perim = float(
+                    distance_gait(
+                        xs[i], ys[i], xs[stopindex - 1], ys[stopindex - 1],
+                        xt, yt,
+                    )
+                )
+        area = float(
+            triangle_xy_surface_area_gait(
+                tx[0], ty[0], tx[1], ty[1], tx[2], ty[2]
+            )
+        )
+        return area, perim
+
+    tx1 = min_native_x
+    ty1 = min_native_y
+    tx2 = minx / 100000.0 + xt
+    ty2 = miny / 100000.0 + yt
+    avglat = (ty2 - ty1) / 2.0 + ty1
+    avglat = (avglat * PI) / 180.0
+    temp = WGS84_DEGREE_LENGTH_M * np.cos(avglat)
+    xbase = (tx2 - tx1) * temp
+    if xbase < 0:
+        xbase = 0 - xbase
+    ybase = WGS84_DEGREE_LENGTH_M * (ty2 - ty1)
+    if ybase < 0:
+        ybase = 0 - ybase
+
+    # per-vertex conversion (vectorized, same op order per element)
+    tx2v = xs / 100000.0 + xt
+    ty2v = ys / 100000.0 + yt
+    avglatv = (ty2v - ty1) / 2.0 + ty1
+    avglatv = (avglatv * PI) / 180.0
+    tempv = WGS84_DEGREE_LENGTH_M * np.cos(avglatv)
+    cx = (tx2v - tx1) * tempv - xbase
+    cy = WGS84_DEGREE_LENGTH_M * (ty2v - ty1) - ybase
+
+    perim = 0.0
+    area = 0.0
+    if stopindex == 0:
+        xold = cx[numverts - 1]
+        yold = cy[numverts - 1]
+    else:
+        xold = cx[stopindex - 1]
+        yold = cy[stopindex - 1]
+
+    def _legs(i):
+        nonlocal perim
+        if i > startindex:
+            perim += float(
+                distance_gait(xs[i - 1], ys[i - 1], xs[i], ys[i], xt, yt)
+            )
+        else:
+            perim = float(
+                distance_gait(
+                    xs[i], ys[i], xs[stopindex - 1], ys[stopindex - 1], xt, yt
+                )
+            )
+
+    if startindex < stopindex:
+        for i in range(startindex, stopindex):
+            _legs(i)
+            area += (xold - cx[i]) * (yold + cy[i] - miny)
+            xold = cx[i]
+            yold = cy[i]
+    else:
+        i = startindex
+        while i != stopindex:
+            _legs(i)
+            area += (xold - cx[i]) * (yold + cy[i] - miny)
+            xold = cx[i]
+            yold = cy[i]
+            i += 1
+            if i == stopindex:
+                break
+            elif i == numverts:
+                i = 0
+
+    if area < 0:
+        area = 0.0 - area
+    area = 0.5 * area
+    return area, perim
+
+
+# ---------------------------------------------------------------------------
 # PointOnQuarterDegreeBoundary — TT.c:1400
 # ---------------------------------------------------------------------------
 

@@ -60,6 +60,7 @@ _FUNCTIONS = [
     ("TT.c", "PointInsideTriangle"),
     ("TT.c", "LineSegmentsIntersect"),
     ("TT.c", "PointOnQuarterDegreeBoundary"),
+    ("TT.c", "CalculateGeodeticCoordArea"),
     ("moregeomchecks.c", "TwoPointsOnSameSideOfLine"),
     ("moregeomchecks.c", "AllCaseLineSegmentsIntersect"),
 ]
@@ -86,6 +87,32 @@ int RefOracleAttrGGDM = 0;
 int Ctype(void) { return RefOracleCtype; }
 int ATTRTYPE_ANY_TDS(void) { return RefOracleAttrTDS; }
 int ATTRTYPE_ANY_GGDM(void) { return RefOracleAttrGGDM; }
+
+/* minimal stand-ins for the globals CalculateGeodeticCoordArea touches
+   (TT.c:475 ArealFromFile, TT.c:498 ArealForAreaCalculation, TT.c:563
+   MinNativeX/Y); only the fields the function reads/writes are declared */
+#define REF_MAX_VERTS 8192
+static double AFF_x[REF_MAX_VERTS], AFF_y[REF_MAX_VERTS];
+static double AFC_x[REF_MAX_VERTS], AFC_y[REF_MAX_VERTS];
+struct ArealAsRead { double *x; double *y; int numverts; };
+struct ArealAsRead ArealFromFile = { AFF_x, AFF_y, 0 };
+struct CloneArealAsRead { double *x; double *y; int numverts; }
+    ArealForAreaCalculation = { AFC_x, AFC_y, 0 };
+double MinNativeX = 0.0;
+double MinNativeY = 0.0;
+
+void RefOracle_SetAreal(double *x, double *y, int n) {
+    int i;
+    for (i = 0; i < n && i < REF_MAX_VERTS; i++) {
+        AFF_x[i] = x[i];
+        AFF_y[i] = y[i];
+    }
+    ArealFromFile.numverts = n;
+}
+
+int CalculateGeodeticCoordArea(double minx, double miny, double *returnarea,
+                               double *returnperimeter, int startindex,
+                               int stopindex);
 
 double RadiansToDegrees(double radianmeasure);
 double AngleBetweenLineSegments(double lx1, double ly1, double lx2,
@@ -276,6 +303,10 @@ class RefOracle:
         L.AllCaseLineSegmentsIntersect.argtypes = [D] * 9 + [PD, PD]
         L.LineEquation.restype = None
         L.LineEquation.argtypes = [D, D, D, D, PD, PD, PD]
+        L.RefOracle_SetAreal.restype = None
+        L.RefOracle_SetAreal.argtypes = [PD, PD, I]
+        L.CalculateGeodeticCoordArea.restype = I
+        L.CalculateGeodeticCoordArea.argtypes = [D, D, PD, PD, I, I]
         L.tempis2D.restype = I
         L.tempis2D.argtypes = [D]
         L.RadiansToDegrees.restype = D
@@ -370,6 +401,40 @@ class RefOracle:
 
     def set_attr_tds(self, flag: bool) -> None:
         ctypes.c_int.in_dll(self._lib, "RefOracleAttrTDS").value = int(flag)
+
+    @property
+    def min_native_x(self) -> float:
+        return ctypes.c_double.in_dll(self._lib, "MinNativeX").value
+
+    @min_native_x.setter
+    def min_native_x(self, v: float) -> None:
+        ctypes.c_double.in_dll(self._lib, "MinNativeX").value = v
+
+    @property
+    def min_native_y(self) -> float:
+        return ctypes.c_double.in_dll(self._lib, "MinNativeY").value
+
+    @min_native_y.setter
+    def min_native_y(self, v: float) -> None:
+        ctypes.c_double.in_dll(self._lib, "MinNativeY").value = v
+
+    def calculate_geodetic_coord_area(
+        self, xs, ys, minx, miny, startindex, stopindex
+    ) -> tuple[int, float, float]:
+        """CalculateGeodeticCoordArea (TT.c:4200) over the shim's areal
+        globals.  Coordinates in GAIT native units; set
+        xtranslation/ytranslation/min_native_* first."""
+        n = len(xs)
+        ax = (ctypes.c_double * n)(*[float(v) for v in xs])
+        ay = (ctypes.c_double * n)(*[float(v) for v in ys])
+        self._lib.RefOracle_SetAreal(ax, ay, n)
+        area = ctypes.c_double(0.0)
+        perim = ctypes.c_double(0.0)
+        rc = self._lib.CalculateGeodeticCoordArea(
+            minx, miny, ctypes.byref(area), ctypes.byref(perim),
+            startindex, stopindex,
+        )
+        return rc, area.value, perim.value
 
     def radians_to_degrees(self, v) -> float:
         return self._lib.RadiansToDegrees(v)
