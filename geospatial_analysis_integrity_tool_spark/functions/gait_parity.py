@@ -276,7 +276,7 @@ def point_inside_poly_gait(px, py, X, Y, V=None) -> np.ndarray:
     Xj = X[rows, nxt]
     Yj = Y[rows, nxt]
 
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         # branch 1: (y[i] < py < y[j])
         b1 = (Yi < py) & (py < Yj) & ((Xi > px) | (Xj > px))
         ny1 = (Yj - py) / (Yj - Yi)
