@@ -423,15 +423,132 @@ FROM feats GROUP BY 1
 """
 
 
+# --- streaming_pip: PIP spatial join under Structured Streaming ----------------
+#
+# The flagship operator in its INCREMENTAL form: a point stream (file
+# source, one parquet file per micro-batch) stream-static-joined against
+# the geo_zones areals through the SAME pip_join machinery the batch path
+# uses — cell-cover equi-join (stream-static inner join is stateless) +
+# broadcast ray-cast refine in mapInPandas.  The memory sink accumulates
+# matches across micro-batches; the oracle recomputes the full sign-test
+# join closed-form, so a dropped or duplicated micro-batch flips the hash.
+
+PIP_STREAM_N = 1200
+PIP_STREAM_BATCHES = 4
+
+
+def write_pip_stream_fixture(dirpath: str | None = None) -> str:
+    import pandas as pd
+
+    from ..sources.fixtures import fixture_dir
+
+    if dirpath is None:
+        dirpath = fixture_dir("stream_pip_v1")
+    if os.path.exists(os.path.join(dirpath, "_done")):
+        return dirpath
+    rows = []
+    per = PIP_STREAM_N // PIP_STREAM_BATCHES
+    for i in range(PIP_STREAM_N):
+        rows.append(
+            {
+                "point_id": i,
+                "lon": ((i * 9973) % 7200) / 20.0 - 180.0,
+                "lat": ((i * 7919) % 2400) / 20.0 - 60.0,
+                "fcode": "STRPT",
+                "batch_idx": i // per,
+            }
+        )
+    df = pd.DataFrame(rows)
+    for b, grp in df.groupby("batch_idx"):
+        grp.drop(columns=["batch_idx"]).to_parquet(
+            os.path.join(dirpath, f"b{int(b):03d}.parquet")
+        )
+    open(os.path.join(dirpath, "_done"), "w").write("ok")
+    return dirpath
+
+
+def q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.pip import pip_join
+    from ..sources.synthetic import register_geo_views
+
+    register_geo_views(spark, sf_dir)
+    d = write_pip_stream_fixture()
+    for q in spark.streams.active:
+        if q.name == "streaming_pip_sink":
+            q.stop()
+    src = (
+        spark.readStream.schema(
+            "point_id long, lon double, lat double, fcode string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    zones = spark.table("geo_zones").select(
+        F.col("zone_id"),
+        F.array("x1", "x2", "x3").alias("xs"),
+        F.array("y1", "y2", "y3").alias("ys"),
+    )
+    out = pip_join(src, zones, point_id="point_id", poly_id="zone_id").select(
+        "point_id", "zone_id"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("streaming_pip_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination(300)
+    return spark.table("streaming_pip_sink").select("point_id", "zone_id")
+
+
+def _pip_stream_oracle() -> str:
+    from ..sources.synthetic import oracle_cte
+
+    def sign(p, a, b):
+        px, py = p
+        ax, ay = a
+        bx, by = b
+        return (
+            f"(({px} - {bx}) * ({ay} - {by}) - ({ax} - {bx}) * ({py} - {by}))"
+        )
+
+    d1 = sign(("p.lon", "p.lat"), ("z.x1", "z.y1"), ("z.x2", "z.y2"))
+    d2 = sign(("p.lon", "p.lat"), ("z.x2", "z.y2"), ("z.x3", "z.y3"))
+    d3 = sign(("p.lon", "p.lat"), ("z.x3", "z.y3"), ("z.x1", "z.y1"))
+    return f"""
+{oracle_cte('geo_zones')},
+pts AS (
+  SELECT i AS point_id,
+         CAST((i * 9973) % 7200 AS DOUBLE) / 20.0 - 180.0 AS lon,
+         CAST((i * 7919) % 2400 AS DOUBLE) / 20.0 - 60.0 AS lat
+  FROM (SELECT unnest(range(0, {PIP_STREAM_N})) AS i)
+)
+SELECT p.point_id, z.zone_id
+FROM pts p, geo_zones z
+WHERE ({d1} > 0 AND {d2} > 0 AND {d3} > 0)
+   OR ({d1} < 0 AND {d2} < 0 AND {d3} < 0)
+"""
+
+
 QUERIES = {
     "streaming_first_seen": q_streaming_first_seen,
     "streaming_windowed_counts": q_streaming_windowed,
     "streaming_url_consolidate": q_streaming_url_consolidate,
     "streaming_extract_sink": q_streaming_extract_sink,
+    "streaming_pip": q_streaming_pip,
 }
 ORACLES = {
     "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
     "streaming_windowed_counts": ORACLE_STREAMING_WINDOWED,
     "streaming_url_consolidate": ORACLE_STREAMING_URL_CONSOLIDATE,
     "streaming_extract_sink": _oracle_extract_sink(500),
+    "streaming_pip": _pip_stream_oracle(),
 }
