@@ -109,6 +109,7 @@ HEADLINE = [
     "mgcp_overlap_combos",
     "attr_enum_labels",
     "geo_pip_gait",
+    "streaming_pip",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec
