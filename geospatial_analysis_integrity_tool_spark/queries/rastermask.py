@@ -533,16 +533,17 @@ QUERIES["dem_geotiff_tile_stats"] = q_dem_geotiff_tile_stats
 ORACLES["dem_geotiff_tile_stats"] = ORACLE_DEM_GEOTIFF_TILE_STATS
 
 
-# --- dem_geotiff_compressed_stats: PackBits + LZW codec round trip -------------
+# --- dem_geotiff_compressed_stats: PackBits + LZW + Deflate round trip ---------
 #
 # Same closed-form post grid as dem_geotiff_tile_stats, but the tiles are
-# written COMPRESSED — alternating PackBits (TIFF 6.0 §9) and LZW (§13,
-# early-change width switch) with the horizontal-differencing predictor
-# (tag 317 = 2) on the LZW tiles.  The distributed reader decodes strips
-# in the scan kernel (sources/dem.py packbits_decode / lzw_decode); the
-# oracle recomputes the stats from the generating formula, so any codec
-# bit error fails the hash.  (Round-3 verdict "missing #3": the native
-# reader previously raised on compressed data.)
+# written COMPRESSED — rotating PackBits (TIFF 6.0 §9), LZW (§13, early-
+# change width switch) with the horizontal-differencing predictor
+# (tag 317 = 2), and Deflate (code 8, TIFF TechNote 2 — zlib stream).  The
+# distributed reader decodes strips in the scan kernel (sources/dem.py
+# packbits_decode / lzw_decode / zlib); the oracle recomputes the stats
+# from the generating formula, so any codec bit error fails the hash.
+# (Round-3 verdict "missing #3": the native reader previously raised on
+# compressed data.)
 
 
 def write_geotiff_compressed_fixture(dirpath: str | None = None) -> str:
@@ -554,7 +555,7 @@ def write_geotiff_compressed_fixture(dirpath: str | None = None) -> str:
     from ..sources.fixtures import fixture_dir
 
     if dirpath is None:
-        dirpath = fixture_dir("gtiff_comp_v1")
+        dirpath = fixture_dir("gtiff_comp_v2")
     if os.path.exists(os.path.join(dirpath, "_done")):
         return dirpath
     os.makedirs(dirpath, exist_ok=True)
@@ -563,15 +564,15 @@ def write_geotiff_compressed_fixture(dirpath: str | None = None) -> str:
     for tx in range(GTIFF_NX):
         for ty in range(GTIFF_NY):
             elevs = ((tx * 733 + ty * 577 + c * 7919 + r * 104729) % 3000) - 700
-            lzw = (tx + ty) % 2 == 0
+            comp = ("lzw", "packbits", "deflate")[(tx + ty) % 3]
             write_geotiff(
                 os.path.join(dirpath, f"cell_{tx}_{ty}.tif"),
                 elevs,
                 x0=20.0 + tx * 0.5,
                 y0=50.0 + ty * 0.5,
                 cellsize=0.0125,
-                compression="lzw" if lzw else "packbits",
-                predictor=2 if lzw else 1,
+                compression=comp,
+                predictor=2 if comp == "lzw" else 1,
             )
     open(os.path.join(dirpath, "_done"), "w").write("ok")
     return dirpath

@@ -283,6 +283,8 @@ _TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
+COMPRESSION_DEFLATE = 8          # "Adobe" Deflate (TIFF TechNote 2)
+COMPRESSION_DEFLATE_OLD = 32946  # legacy Deflate code, same stream format
 COMPRESSION_PACKBITS = 32773
 
 
@@ -450,15 +452,19 @@ def write_geotiff(
         grid_ns = grid_ns.astype(np.int16).copy()
         grid_ns[:, 1:] = grid_ns[:, 1:] - grid_ns[:, :-1]
         grid_ns = grid_ns.astype("<i2")
+    import zlib
+
     comp_tag = {
         "none": COMPRESSION_NONE,
         "packbits": COMPRESSION_PACKBITS,
         "lzw": COMPRESSION_LZW,
+        "deflate": COMPRESSION_DEFLATE,
     }[compression]
     codec = {
         "none": lambda b: b,
         "packbits": packbits_encode,
         "lzw": lzw_encode,
+        "deflate": zlib.compress,
     }[compression]
     strips = [
         codec(grid_ns[r : r + rows_per_strip].tobytes())
@@ -585,10 +591,14 @@ def parse_geotiff_bytes(data: bytes, source: str) -> pd.DataFrame:
         codec = packbits_decode
     elif comp == COMPRESSION_LZW:
         codec = lzw_decode
+    elif comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
+        import zlib
+
+        codec = zlib.decompress
     else:
         raise ValueError(
             f"{source}: unsupported TIFF compression {comp}"
-            " (supported: none, PackBits, LZW)"
+            " (supported: none, PackBits, LZW, Deflate)"
         )
     strip_offs = [int(v) for v in read_values(273)]
     strip_counts = [int(v) for v in read_values(279)]

@@ -1,0 +1,86 @@
+"""UPS / Polar Stereographic -> geodetic: fidelity + engine-parity tests.
+
+The gated query (ups_ingest_geodetic) proves Spark == DuckDB bit-for-bit on
+the shared stage chain; these tests prove the chain is a FAITHFUL inverse
+polar stereographic: forward-transform with true trig (Snyder 15-9 / 21-33),
+invert with the polynomial chain, and bound the error — plus the EPSG
+Guidance Note 7-2 published test vector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geospatial_analysis_integrity_tool_spark.functions.polar_stereo import (
+    geodetic_to_ps_np,
+    ps_to_geodetic_np,
+)
+
+
+def test_ps_epsg_published_vector():
+    """EPSG GN 7-2 Polar Stereographic Variant A example (UPS North):
+    73N 44E -> E 3320416.75 m, N 632668.43 m."""
+    x, y = geodetic_to_ps_np(np.array([44.0]), np.array([73.0]))
+    assert abs(x[0] - 3320416.75) < 0.01
+    assert abs(y[0] - 632668.43) < 0.01
+    lon, lat = ps_to_geodetic_np(np.array([3320416.75]), np.array([632668.43]))
+    assert abs(lon[0] - 44.0) < 1e-6
+    assert abs(lat[0] - 73.0) < 1e-6
+
+
+def test_ps_inverse_roundtrip_fidelity():
+    rng = np.random.default_rng(11)
+    for south in (False, True):
+        lat = rng.uniform(66.0, 89.999, 100000) * (-1.0 if south else 1.0)
+        lon = rng.uniform(-180.0, 180.0, 100000)
+        x, y = geodetic_to_ps_np(lon, lat, south)
+        lon2, lat2 = ps_to_geodetic_np(x, y, south)
+        dlon = np.abs(((lon2 - lon + 180.0) % 360.0) - 180.0)
+        # 1e-8 deg ~ 1.1 mm; lon error scaled by cos(lat) to meters-equivalent
+        assert np.abs(lat2 - lat).max() < 2e-8
+        assert (dlon * np.cos(np.deg2rad(lat))).max() < 2e-8
+
+
+def test_ps_pole_and_axes_cases():
+    """rho = 0 (exact pole) and the axis-aligned atan2 quadrant seams."""
+    e = np.array([2e6, 2e6, 2e6, 2.5e6, 1.5e6, 2e6])
+    n = np.array([2e6, 1.5e6, 2.5e6, 2e6, 2e6, 1.2e6])
+    lon, lat = ps_to_geodetic_np(e, n)
+    assert lat[0] > 89.999999  # pole
+    assert abs(lon[1] - 0.0) < 1e-9       # grid north (y' < 0 -> lon 0)
+    assert abs(abs(lon[2]) - 180.0) < 1e-9  # y' > 0 -> lon +-180
+    assert abs(lon[3] - 90.0) < 1e-9      # x' > 0 -> lon 90E
+    assert abs(lon[4] + 90.0) < 1e-9      # x' < 0 -> lon 90W
+    lon_s, lat_s = ps_to_geodetic_np(e, n, south=True)
+    assert lat_s[0] < -89.999999
+    assert abs(abs(lon_s[1]) - 180.0) < 1e-9  # south aspect flips the seam
+    assert abs(lon_s[2] - 0.0) < 1e-9
+
+
+def test_ps_numpy_twin_matches_sql_chain(spark):
+    """The numpy twin performs the same polynomial + operation order as the
+    SQL stage chain — spot-verify bit-identity through Spark."""
+    from pyspark.sql import functions as F
+
+    from geospatial_analysis_integrity_tool_spark.functions.polar_stereo import (
+        with_ps_geodetic,
+    )
+
+    rng = np.random.default_rng(5)
+    e = 600000.0 + rng.uniform(0, 2800000, 200)
+    n = 600000.0 + rng.uniform(0, 2800000, 200)
+    for south in (False, True):
+        df = spark.createDataFrame(
+            list(zip(e.tolist(), n.tolist())), "easting double, northing double"
+        )
+        rows = (
+            with_ps_geodetic(df, "easting", "northing", south=south)
+            .orderBy(F.col("easting"))
+            .collect()
+        )
+        order = np.argsort(e)
+        lon_np, lat_np = ps_to_geodetic_np(e[order], n[order], south=south)
+        got_lon = np.array([r.ps_lon for r in rows])
+        got_lat = np.array([r.ps_lat for r in rows])
+        assert np.array_equal(got_lon, lon_np)
+        assert np.array_equal(got_lat, lat_np)

@@ -165,7 +165,7 @@ def test_geotiff_roundtrip_bigendian_rejects_compressed():
     for i in range(n_tags):
         off = 10 + 12 * i
         if struct.unpack("<H", data[off : off + 2])[0] == 259:
-            data[off + 8 : off + 12] = struct.pack("<I", 8)  # Deflate
+            data[off + 8 : off + 12] = struct.pack("<I", 7)  # JPEG (unsupported)
     with _pytest.raises(ValueError, match="unsupported"):
         parse_geotiff_bytes(bytes(data), "t")
 
@@ -213,6 +213,8 @@ def test_geotiff_packbits_lzw_roundtrip():
         ("packbits", 1),
         ("lzw", 1),
         ("lzw", 2),
+        ("deflate", 1),
+        ("deflate", 2),
     ]:
         with tempfile.TemporaryDirectory() as d:
             p = os.path.join(d, "t.tif")

@@ -530,3 +530,56 @@ def test_production_area_formula_bounds():
         )
         eng_a = polygon_area_m2_np(xs / 1e5, ys / 1e5)
         assert abs(eng_a - ref_a) / max(ref_a, 1e-9) < 0.002
+
+
+def test_is_flakey_nunanpo_bitexact(oracle):
+    """IsFlakeyNUNANPOvalue (TT.c:1625) vs the engine's SQL predicate twin
+    (queries/nunanpoq._np_flakey_str/_np_flakey_num): the allow_nunanpo
+    2-vs-3 distinction ('all nunanpo' forgives the Unknown family -32767 /
+    "0" / Unknown / UNK; 'all less Unknown' does not), quote-stripping on
+    the string path, and the NearlyEqual |d| < 0.0001 window on the numeric
+    path (where 0.0 is NOT flakey, unlike string "0")."""
+    base = {
+        "-32768", "-32768.0", "-32766", "-32766.0", "-32765", "-32765.0",
+        "-32764", "-32764.0", "996", "997", "998", "999", "Not Applicable",
+        "Unpopulated", "Other", "Multiple", "N_A", "OTH", "N/A", "Null",
+        "Null (Reserved)",
+    }
+    unk = {"-32767", "-32767.0", "0", "Unknown", "UNK"}
+
+    def twin_str(v: str, mode: int) -> int:
+        s = v.replace('"', "")
+        return int(s in base or (mode == 2 and s in unk))
+
+    def twin_num(d: float, mode: int) -> int:
+        hits = [abs(d - s) < 0.0001 for s in (-32768.0, -32766.0, -32765.0, -32764.0)]
+        if mode == 2:
+            hits.append(abs(d - (-32767.0)) < 0.0001)
+        return int(any(hits))
+
+    rng = np.random.default_rng(93)
+    pool = sorted(base | unk)
+    # string path: sentinels, quoted/embedded-quote variants, near-misses
+    cases = []
+    for v in pool:
+        cases += [v, f'"{v}"', v[:1] + '"' + v[1:], v + " ", " " + v, v + ".00"]
+    cases += ["", "5", "Unknown ", "unknown", "UNKNOWN", "unk", "32767",
+              "-32767.00", "Null(Reserved)", "null", "0.0", "-0", "00"]
+    for _ in range(2000):
+        cases.append("".join(rng.choice(list("01-“\"23768.NUnk "), size=rng.integers(1, 10))))
+    n = 0
+    for v in cases:
+        for mode in (2, 3):
+            assert oracle.is_flakey_nunanpo(v, 0.0, mode) == twin_str(v, mode), (v, mode)
+            n += 1
+    # numeric path: dense sweep across every sentinel's epsilon window edge
+    dvals = list(rng.uniform(-40000, 1000, 20000))
+    for s in (-32768.0, -32767.0, -32766.0, -32765.0, -32764.0):
+        dvals += list(s + rng.uniform(-3e-4, 3e-4, 2000))
+        dvals += [s, s + 0.0001, s - 0.0001, s + 9.999e-5, s - 9.999e-5]
+    dvals += [0.0, -0.0, 996.0, 999.0]
+    for d in dvals:
+        for mode in (2, 3):
+            assert oracle.is_flakey_nunanpo(None, float(d), mode) == twin_num(float(d), mode), (d, mode)
+            n += 1
+    assert n > 60000

@@ -52,6 +52,7 @@ _FUNCTIONS = [
     ("TT.c", "TwoDecimalDistance"),
     ("TT.c", "EqualWithinTolerance"),
     ("TT.c", "NearlyEqual"),
+    ("TT.c", "IsFlakeyNUNANPOvalue"),
     ("TT.c", "PointToLineDist2D"),
     ("TT.c", "PointToFullLineDist2D"),
     ("TT.c", "PointOnLineSegment"),
@@ -68,6 +69,7 @@ _FUNCTIONS = [
 _SHIM = """
 #include <math.h>
 #include <stdio.h>
+#include <string.h>
 
 #define PIvalue 3.141592653589793
 #define WGS84degreeLength 111319.5
@@ -139,6 +141,7 @@ double TwoDecimalDistance(double x1, double y1, double x2, double y2);
 int EqualWithinTolerance(double x1, double y1, double x2, double y2,
                          double tolerance);
 int NearlyEqual(double v1, double v2);
+int IsFlakeyNUNANPOvalue(char *in_strvalue, double dvalue, int AllowUnknown);
 double PointToLineDist2D(double xj, double yj, double xk, double yk,
                          double xl, double yl);
 int PointOnLineSegment(double px, double py, double x1, double y1,
@@ -323,6 +326,8 @@ class RefOracle:
         L.PointInsideTriangle.argtypes = [D] * 8
         L.LineSegmentsIntersect.restype = I
         L.LineSegmentsIntersect.argtypes = [D] * 8 + [PD, PD]
+        L.IsFlakeyNUNANPOvalue.restype = I
+        L.IsFlakeyNUNANPOvalue.argtypes = [ctypes.c_char_p, D, I]
 
     # -- globals ------------------------------------------------------------
     @property
@@ -466,6 +471,13 @@ class RefOracle:
             xl, yl, xk, yk, xm, ym, xn, yn, ctypes.byref(xi), ctypes.byref(yi)
         )
         return code, xi.value, yi.value
+
+    def is_flakey_nunanpo(self, strval, dvalue, allow_unknown) -> int:
+        """IsFlakeyNUNANPOvalue (TT.c:1625).  strval=None takes the numeric
+        (NearlyEqual) path; allow_unknown is the howtocheck value (2 = allow
+        all nunanpo incl. Unknown family, 3 = all less 'Unknown')."""
+        b = strval.encode() if strval is not None else None
+        return self._lib.IsFlakeyNUNANPOvalue(b, float(dvalue), int(allow_unknown))
 
     def line_equation(self, x1, y1, x2, y2) -> tuple[float, float, float]:
         A = ctypes.c_double(0.0)
