@@ -87,10 +87,36 @@ def utm_stages(
     """(name, expr) chain computing ``utm_lon``/``utm_lat`` (degrees) from
     UTM meters.  Each expr references only input columns and earlier names,
     so it can render as Spark staged columns OR a DuckDB subquery chain."""
-    n_adj = f"(({northing}) - 10000000.0)" if south else f"({northing})"
+    return tm_stages(
+        easting,
+        northing,
+        lon0_expr=f"(CAST(({zone}) AS DOUBLE) * 6.0 - 183.0)",
+        k0=K0,
+        false_easting=500000.0,
+        false_northing=10000000.0 if south else 0.0,
+    )
+
+
+def tm_stages(
+    easting: str,
+    northing: str,
+    lon0_expr: str,
+    k0: float = K0,
+    false_easting: float = 500000.0,
+    false_northing: float = 0.0,
+) -> list[tuple[str, str]]:
+    """Generalized Transverse Mercator inverse (reference coordinate
+    system 3, TTformat.c:28431 — UTM is system 2, the k0 = 0.9996 /
+    zone-derived-lon0 special case).  Same stage-chain contract as
+    utm_stages; ``lon0_expr`` is an SQL expression in DEGREES."""
+    n_adj = (
+        f"(({northing}) - {_dlit(false_northing)})"
+        if false_northing
+        else f"({northing})"
+    )
     return [
-        ("_u_x", f"(({easting}) - 500000.0)"),
-        ("_u_mu", f"({n_adj} / {_dlit(K0)} / {_dlit(MU_DEN)})"),
+        ("_u_x", f"(({easting}) - {_dlit(false_easting)})"),
+        ("_u_mu", f"({n_adj} / {_dlit(k0)} / {_dlit(MU_DEN)})"),
         ("_u_smu", sql_sin_poly("_u_mu")),
         ("_u_cmu", sql_cos_poly("_u_mu")),
         ("_u_s2", "(2.0 * _u_smu * _u_cmu)"),
@@ -113,7 +139,7 @@ def utm_stages(
         ("_u_w", f"(1.0 - {_dlit(E2)} * _u_sp2)"),
         ("_u_n1", f"({_dlit(A)} / sqrt(_u_w))"),
         ("_u_r1", f"({_dlit(A)} * {_dlit(1.0 - E2)} / (_u_w * sqrt(_u_w)))"),
-        ("_u_d", f"(_u_x / (_u_n1 * {_dlit(K0)}))"),
+        ("_u_d", f"(_u_x / (_u_n1 * {_dlit(k0)}))"),
         ("_u_d2", "(_u_d * _u_d)"),
         (
             "utm_lat",
@@ -127,7 +153,7 @@ def utm_stages(
         ),
         (
             "utm_lon",
-            f"((CAST(({zone}) AS DOUBLE) * 6.0 - 183.0)"
+            f"({lon0_expr}"
             f" + ((_u_d - (1.0 + 2.0 * _u_t1 + _u_c1) * _u_d * _u_d2 / 6.0"
             f" + (5.0 - 2.0 * _u_c1 + 28.0 * _u_t1 - 3.0 * _u_c1 * _u_c1"
             f" + 8.0 * {_dlit(EP2)} + 24.0 * _u_t1 * _u_t1)"
@@ -174,11 +200,47 @@ def oracle_utm_subquery(inner_sql: str, easting: str, northing: str,
     return sql
 
 
+def with_tm_geodetic(df, easting: str, northing: str, lon0_deg: float,
+                     k0: float = K0, false_easting: float = 500000.0,
+                     false_northing: float = 0.0):
+    """Spark side of the generalized TM inverse (staged columns)."""
+    from pyspark.sql import functions as F
+
+    stages = tm_stages(easting, northing, _dlit(lon0_deg), k0,
+                       false_easting, false_northing)
+    for name, expr in stages:
+        df = df.withColumn(name, F.expr(expr))
+    return df.drop(*[n for n, _ in stages if n.startswith("_u_")])
+
+
+def oracle_tm_subquery(inner_sql: str, easting: str, northing: str,
+                       lon0_deg: float, k0: float = K0,
+                       false_easting: float = 500000.0,
+                       false_northing: float = 0.0) -> str:
+    """DuckDB side of the generalized TM inverse."""
+    sql = f"({inner_sql})"
+    for name, expr in tm_stages(easting, northing, _dlit(lon0_deg), k0,
+                                false_easting, false_northing):
+        sql = f"(SELECT *, {expr} AS {name} FROM {sql} AS _s_{name})"
+    return sql
+
+
 def utm_to_geodetic_np(easting, northing, zone, south: bool = False):
     """numpy twin (same polynomial + operation order) for Arrow kernels."""
+    z = np.asarray(zone, dtype=np.float64)
+    return tm_to_geodetic_np(
+        easting, northing, z * 6.0 - 183.0, K0, 500000.0,
+        10000000.0 if south else 0.0,
+    )
+
+
+def tm_to_geodetic_np(easting, northing, lon0_deg, k0: float = K0,
+                      false_easting: float = 500000.0,
+                      false_northing: float = 0.0):
+    """numpy twin of the generalized TM stage chain (same op order)."""
     e = np.asarray(easting, dtype=np.float64)
     n = np.asarray(northing, dtype=np.float64)
-    z = np.asarray(zone, dtype=np.float64)
+    lon0 = np.asarray(lon0_deg, dtype=np.float64)
 
     def sinp(x):
         x2 = x * x
@@ -194,9 +256,9 @@ def utm_to_geodetic_np(easting, northing, zone, south: bool = False):
             body = c + x2 * body
         return 1.0 + x2 * body
 
-    x = e - 500000.0
-    nn = n - 10000000.0 if south else n
-    mu = nn / K0 / MU_DEN
+    x = e - false_easting
+    nn = n - false_northing if false_northing else n
+    mu = nn / k0 / MU_DEN
     smu = sinp(mu)
     cmu = cosp(mu)
     s2 = 2.0 * smu * cmu
@@ -215,7 +277,7 @@ def utm_to_geodetic_np(easting, northing, zone, south: bool = False):
     w = 1.0 - E2 * sp2
     n1 = A / np.sqrt(w)
     r1 = A * (1.0 - E2) / (w * np.sqrt(w))
-    d = x / (n1 * K0)
+    d = x / (n1 * k0)
     d2 = d * d
     lat = (
         phi1
@@ -228,7 +290,7 @@ def utm_to_geodetic_np(easting, northing, zone, south: bool = False):
                - 252.0 * EP2 - 3.0 * c1 * c1) * d2 * d2 * d2 / 720.0
         )
     ) * RAD2DEG
-    lon = (z * 6.0 - 183.0) + (
+    lon = lon0 + (
         (
             d
             - (1.0 + 2.0 * t1 + c1) * d * d2 / 6.0
@@ -244,9 +306,18 @@ def geodetic_to_utm_np(lon, lat):
     """Forward transform (true trig; test/fixture use only) — Snyder
     eqs. 8-9..8-15, used to validate the inverse's fidelity."""
     lon = np.asarray(lon, dtype=np.float64)
-    lat = np.asarray(lat, dtype=np.float64)
     zone = np.floor((lon + 180.0) / 6.0).astype(np.int64) + 1
-    lon0 = zone * 6.0 - 183.0
+    e, n = geodetic_to_tm_np(lon, lat, zone * 6.0 - 183.0, K0, 500000.0, 0.0)
+    return e, n, zone
+
+
+def geodetic_to_tm_np(lon, lat, lon0_deg, k0: float = K0,
+                      false_easting: float = 500000.0,
+                      false_northing: float = 0.0):
+    """Generalized true-trig forward TM (test/fixture use only)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon0 = np.asarray(lon0_deg, dtype=np.float64)
     phi = np.deg2rad(lat)
     lam = np.deg2rad(lon - lon0)
     sp = np.sin(phi)
@@ -263,12 +334,12 @@ def geodetic_to_utm_np(lon, lat):
         + (15.0 * E2**2 / 256.0 + 45.0 * E2**3 / 1024.0) * np.sin(4.0 * phi)
         - (35.0 * E2**3 / 3072.0) * np.sin(6.0 * phi)
     )
-    easting = K0 * n1 * (
+    easting = k0 * n1 * (
         a_
         + (1.0 - t + c) * a_**3 / 6.0
         + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * EP2) * a_**5 / 120.0
-    ) + 500000.0
-    northing = K0 * (
+    ) + false_easting
+    northing = k0 * (
         m
         + n1 * tp * (
             a_**2 / 2.0
@@ -276,5 +347,5 @@ def geodetic_to_utm_np(lon, lat):
             + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * EP2)
             * a_**6 / 720.0
         )
-    )
-    return easting, northing, zone
+    ) + false_northing
+    return easting, northing

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.utm import oracle_utm_subquery, with_utm_geodetic
+from ..functions.utm import (
+    oracle_tm_subquery,
+    oracle_utm_subquery,
+    with_tm_geodetic,
+    with_utm_geodetic,
+)
 from ..operators.pip import pip_join
 from ..sources.synthetic import oracle_cte, register_geo_views, register_testdata_views
 
@@ -95,11 +100,46 @@ WHERE ({_D1} > 0 AND {_D2} > 0 AND {_D3} > 0)
    OR ({_D1} < 0 AND {_D2} < 0 AND {_D3} < 0)
 """
 
+# --- tm_ingest_geodetic (generalized TM, reference coordinate system 3) --------
+#
+# A national-grid-style Transverse Mercator (custom central meridian, unit
+# scale factor, non-UTM false origin) through the SAME series — proving the
+# kernel is the general system-3 transform, not just the UTM special case.
+
+TM_LON0 = 21.0
+TM_K0 = 1.0
+TM_FE = 200000.0
+TM_FN = 1000000.0
+
+_TM_FIXTURE_SQL = f"""
+SELECT c_custkey AS feature_id,
+       (-50000.0) + CAST((c_custkey * 7919) % 500000 AS DOUBLE) AS easting,
+       500000.0 + CAST((c_custkey * 104729) % 7000000 AS DOUBLE) AS northing
+FROM customer
+WHERE c_custkey < {N_FEATURES}
+"""
+
+
+def q_tm_ingest_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    feats = spark.sql(_TM_FIXTURE_SQL)
+    out = with_tm_geodetic(feats, "easting", "northing", TM_LON0, TM_K0,
+                           TM_FE, TM_FN)
+    return out.select("feature_id", "utm_lon", "utm_lat")
+
+
+ORACLE_TM_INGEST = f"""
+SELECT feature_id, utm_lon, utm_lat
+FROM {oracle_tm_subquery(_TM_FIXTURE_SQL, "easting", "northing", TM_LON0, TM_K0, TM_FE, TM_FN)} q
+"""
+
 QUERIES = {
     "utm_ingest_geodetic": q_utm_ingest_geodetic,
     "utm_pip_join": q_utm_pip_join,
+    "tm_ingest_geodetic": q_tm_ingest_geodetic,
 }
 ORACLES = {
     "utm_ingest_geodetic": ORACLE_UTM_INGEST,
     "utm_pip_join": ORACLE_UTM_PIP,
+    "tm_ingest_geodetic": ORACLE_TM_INGEST,
 }

@@ -61,3 +61,21 @@ def test_utm_numpy_twin_matches_sql_chain(spark):
     got_lat = np.array([r.utm_lat for r in rows])
     assert (got_lon == lon_np).all()
     assert (got_lat == lat_np).all()
+
+
+def test_tm_generalized_inverse_fidelity():
+    """The generalized system-3 TM (custom lon0/k0/false origin) inverts the
+    true-trig forward to < 2e-8 deg over a +-3 deg national-grid window."""
+    from geospatial_analysis_integrity_tool_spark.functions.utm import (
+        geodetic_to_tm_np,
+        tm_to_geodetic_np,
+    )
+
+    rng = np.random.default_rng(17)
+    lon0, k0, fe, fn = 21.0, 1.0, 200000.0, 1000000.0
+    lon = lon0 + rng.uniform(-3.0, 3.0, 100000)
+    lat = rng.uniform(-10.0, 60.0, 100000)
+    e, n = geodetic_to_tm_np(lon, lat, lon0, k0, fe, fn)
+    lon2, lat2 = tm_to_geodetic_np(e, n, lon0, k0, fe, fn)
+    assert np.abs(lon2 - lon).max() < 2e-8
+    assert np.abs(lat2 - lat).max() < 2e-8
