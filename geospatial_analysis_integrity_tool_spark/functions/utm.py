@@ -349,3 +349,98 @@ def geodetic_to_tm_np(lon, lat, lon0_deg, k0: float = K0,
         )
     ) + false_northing
     return easting, northing
+
+
+# --- Equidistant Cylindrical (reference coordinate system 5) --------------------
+#
+# Ellipsoidal Plate Carree (EPSG method 1028, std parallel 0): northing IS
+# the meridional arc M(phi), easting = a * lambda.  The inverse latitude is
+# exactly the UTM footpoint series (Snyder eq. 3-26) already used above.
+
+def ec_stages(easting: str, northing: str, lon0_deg: float = 0.0) -> list[tuple[str, str]]:
+    """(name, expr) chain computing ``ec_lon``/``ec_lat`` (degrees)."""
+    return [
+        ("_c_mu", f"(({northing}) / {_dlit(MU_DEN)})"),
+        ("_c_smu", sql_sin_poly("_c_mu")),
+        ("_c_cmu", sql_cos_poly("_c_mu")),
+        ("_c_s2", "(2.0 * _c_smu * _c_cmu)"),
+        ("_c_c2", "(1.0 - 2.0 * _c_smu * _c_smu)"),
+        ("_c_s4", "(2.0 * _c_s2 * _c_c2)"),
+        ("_c_c4", "(1.0 - 2.0 * _c_s2 * _c_s2)"),
+        ("_c_s6", "(_c_s4 * _c_c2 + _c_c4 * _c_s2)"),
+        ("_c_s8", "(2.0 * _c_s4 * _c_c4)"),
+        (
+            "ec_lat",
+            f"((_c_mu + {_dlit(J1)} * _c_s2 + {_dlit(J2)} * _c_s4"
+            f" + {_dlit(J3)} * _c_s6 + {_dlit(J4)} * _c_s8) * {_dlit(RAD2DEG)})",
+        ),
+        (
+            "ec_lon",
+            f"({_dlit(lon0_deg)} + (({easting}) / {_dlit(A)}) * {_dlit(RAD2DEG)})",
+        ),
+    ]
+
+
+def with_ec_geodetic(df, easting: str, northing: str, lon0_deg: float = 0.0):
+    from pyspark.sql import functions as F
+
+    stages = ec_stages(easting, northing, lon0_deg)
+    for name, expr in stages:
+        df = df.withColumn(name, F.expr(expr))
+    return df.drop(*[n for n, _ in stages if n.startswith("_c_")])
+
+
+def oracle_ec_subquery(inner_sql: str, easting: str, northing: str,
+                       lon0_deg: float = 0.0) -> str:
+    sql = f"({inner_sql})"
+    for name, expr in ec_stages(easting, northing, lon0_deg):
+        sql = f"(SELECT *, {expr} AS {name} FROM {sql} AS _s_{name})"
+    return sql
+
+
+def ec_to_geodetic_np(easting, northing, lon0_deg: float = 0.0):
+    """numpy twin (same polynomial + operation order)."""
+    e = np.asarray(easting, dtype=np.float64)
+    n = np.asarray(northing, dtype=np.float64)
+
+    def sinp(x):
+        x2 = x * x
+        body = np.float64(_SIN_COEF[-1])
+        for c in reversed(_SIN_COEF[:-1]):
+            body = c + x2 * body
+        return x * (1.0 + x2 * body)
+
+    def cosp(x):
+        x2 = x * x
+        body = np.float64(_COS_COEF[-1])
+        for c in reversed(_COS_COEF[:-1]):
+            body = c + x2 * body
+        return 1.0 + x2 * body
+
+    mu = n / MU_DEN
+    smu = sinp(mu)
+    cmu = cosp(mu)
+    s2 = 2.0 * smu * cmu
+    c2 = 1.0 - 2.0 * smu * smu
+    s4 = 2.0 * s2 * c2
+    c4 = 1.0 - 2.0 * s2 * s2
+    s6 = s4 * c2 + c4 * s2
+    s8 = 2.0 * s4 * c4
+    lat = (mu + J1 * s2 + J2 * s4 + J3 * s6 + J4 * s8) * RAD2DEG
+    lon = lon0_deg + (e / A) * RAD2DEG
+    return lon, lat
+
+
+def geodetic_to_ec_np(lon, lat, lon0_deg: float = 0.0):
+    """True-trig forward (test/fixture use only): E = a*lam, N = M(phi)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.deg2rad(lat)
+    m = A * (
+        (1.0 - E2 / 4.0 - 3.0 * E2**2 / 64.0 - 5.0 * E2**3 / 256.0) * phi
+        - (3.0 * E2 / 8.0 + 3.0 * E2**2 / 32.0 + 45.0 * E2**3 / 1024.0)
+        * np.sin(2.0 * phi)
+        + (15.0 * E2**2 / 256.0 + 45.0 * E2**3 / 1024.0) * np.sin(4.0 * phi)
+        - (35.0 * E2**3 / 3072.0) * np.sin(6.0 * phi)
+    )
+    return A * np.deg2rad(lon - lon0_deg), m

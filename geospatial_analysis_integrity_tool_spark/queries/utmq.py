@@ -24,8 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.utm import (
+    oracle_ec_subquery,
     oracle_tm_subquery,
     oracle_utm_subquery,
+    with_ec_geodetic,
     with_tm_geodetic,
     with_utm_geodetic,
 )
@@ -133,13 +135,41 @@ SELECT feature_id, utm_lon, utm_lat
 FROM {oracle_tm_subquery(_TM_FIXTURE_SQL, "easting", "northing", TM_LON0, TM_K0, TM_FE, TM_FN)} q
 """
 
+# --- ec_ingest_geodetic (Equidistant Cylindrical, reference system 5) ----------
+#
+# Ellipsoidal Plate Carree: northing = meridional arc, easting = a * lambda;
+# inverse latitude is the footpoint series shared with the TM kernel.
+
+_EC_FIXTURE_SQL = f"""
+SELECT c_custkey AS feature_id,
+       (-18000000.0) + CAST((c_custkey * 7919) % 36000000 AS DOUBLE) AS easting,
+       (-9000000.0) + CAST((c_custkey * 104729) % 18000000 AS DOUBLE) AS northing
+FROM customer
+WHERE c_custkey < {N_FEATURES}
+"""
+
+
+def q_ec_ingest_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    feats = spark.sql(_EC_FIXTURE_SQL)
+    out = with_ec_geodetic(feats, "easting", "northing")
+    return out.select("feature_id", "ec_lon", "ec_lat")
+
+
+ORACLE_EC_INGEST = f"""
+SELECT feature_id, ec_lon, ec_lat
+FROM {oracle_ec_subquery(_EC_FIXTURE_SQL, "easting", "northing")} q
+"""
+
 QUERIES = {
     "utm_ingest_geodetic": q_utm_ingest_geodetic,
     "utm_pip_join": q_utm_pip_join,
     "tm_ingest_geodetic": q_tm_ingest_geodetic,
+    "ec_ingest_geodetic": q_ec_ingest_geodetic,
 }
 ORACLES = {
     "utm_ingest_geodetic": ORACLE_UTM_INGEST,
     "utm_pip_join": ORACLE_UTM_PIP,
     "tm_ingest_geodetic": ORACLE_TM_INGEST,
+    "ec_ingest_geodetic": ORACLE_EC_INGEST,
 }

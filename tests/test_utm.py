@@ -79,3 +79,20 @@ def test_tm_generalized_inverse_fidelity():
     lon2, lat2 = tm_to_geodetic_np(e, n, lon0, k0, fe, fn)
     assert np.abs(lon2 - lon).max() < 2e-8
     assert np.abs(lat2 - lat).max() < 2e-8
+
+
+def test_ec_inverse_fidelity():
+    """Equidistant Cylindrical (system 5): true-trig forward (N = meridional
+    arc, E = a*lam) inverted by the footpoint chain to < 2e-8 deg."""
+    from geospatial_analysis_integrity_tool_spark.functions.utm import (
+        ec_to_geodetic_np,
+        geodetic_to_ec_np,
+    )
+
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-179.0, 179.0, 100000)
+    lat = rng.uniform(-85.0, 85.0, 100000)
+    e, n = geodetic_to_ec_np(lon, lat)
+    lon2, lat2 = ec_to_geodetic_np(e, n)
+    assert np.abs(lon2 - lon).max() < 2e-8
+    assert np.abs(lat2 - lat).max() < 2e-8
