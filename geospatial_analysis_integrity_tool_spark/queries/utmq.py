@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.mercator import oracle_mercator_subquery, with_mercator_geodetic
 from ..functions.utm import (
     oracle_ec_subquery,
     oracle_tm_subquery,
@@ -161,15 +162,51 @@ SELECT feature_id, ec_lon, ec_lat
 FROM {oracle_ec_subquery(_EC_FIXTURE_SQL, "easting", "northing")} q
 """
 
+# --- mercator_ingest_geodetic ("M (Augmented Mercator)", system 13) ------------
+#
+# Ellipsoidal Mercator with a non-trivial parameter set (lon0 12E,
+# k0 0.997, false origin): exp by quartered Taylor, atan by reciprocal
+# fold + two halvings, then the shared conformal-latitude series.
+
+MERC_LON0 = 12.0
+MERC_K0 = 0.997
+MERC_FE = 300000.0
+MERC_FN = 900000.0
+
+#: |y'| <= 1.55e7 -> |lat| <= ~86, inside the exp quartering domain
+_MERC_FIXTURE_SQL = f"""
+SELECT c_custkey AS feature_id,
+       (-19500000.0) + CAST((c_custkey * 7919) % 39000000 AS DOUBLE) AS easting,
+       (-14600000.0) + CAST((c_custkey * 104729) % 30000000 AS DOUBLE) AS northing
+FROM customer
+WHERE c_custkey < {N_FEATURES}
+"""
+
+
+def q_mercator_ingest_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    feats = spark.sql(_MERC_FIXTURE_SQL)
+    out = with_mercator_geodetic(feats, "easting", "northing", MERC_LON0,
+                                 MERC_K0, MERC_FE, MERC_FN)
+    return out.select("feature_id", "merc_lon", "merc_lat")
+
+
+ORACLE_MERC_INGEST = f"""
+SELECT feature_id, merc_lon, merc_lat
+FROM {oracle_mercator_subquery(_MERC_FIXTURE_SQL, "easting", "northing", MERC_LON0, MERC_K0, MERC_FE, MERC_FN)} q
+"""
+
 QUERIES = {
     "utm_ingest_geodetic": q_utm_ingest_geodetic,
     "utm_pip_join": q_utm_pip_join,
     "tm_ingest_geodetic": q_tm_ingest_geodetic,
     "ec_ingest_geodetic": q_ec_ingest_geodetic,
+    "mercator_ingest_geodetic": q_mercator_ingest_geodetic,
 }
 ORACLES = {
     "utm_ingest_geodetic": ORACLE_UTM_INGEST,
     "utm_pip_join": ORACLE_UTM_PIP,
     "tm_ingest_geodetic": ORACLE_TM_INGEST,
     "ec_ingest_geodetic": ORACLE_EC_INGEST,
+    "mercator_ingest_geodetic": ORACLE_MERC_INGEST,
 }

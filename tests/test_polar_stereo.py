@@ -84,3 +84,46 @@ def test_ps_numpy_twin_matches_sql_chain(spark):
         got_lat = np.array([r.ps_lat for r in rows])
         assert np.array_equal(got_lon, lon_np)
         assert np.array_equal(got_lat, lat_np)
+
+
+def test_mercator_inverse_fidelity():
+    """Ellipsoidal Mercator (system 13): true-trig forward (Snyder 7-7/7-8)
+    inverted by the exp/atan/conformal-series chain to < 2e-8 deg."""
+    from geospatial_analysis_integrity_tool_spark.functions.mercator import (
+        geodetic_to_mercator_np,
+        mercator_to_geodetic_np,
+    )
+
+    rng = np.random.default_rng(29)
+    for params in [(0.0, 1.0, 0.0, 0.0), (12.0, 0.997, 300000.0, 900000.0)]:
+        lon = rng.uniform(-179.0, 179.0, 100000)
+        lat = rng.uniform(-86.0, 86.0, 100000)
+        x, y = geodetic_to_mercator_np(lon, lat, *params)
+        lon2, lat2 = mercator_to_geodetic_np(x, y, *params)
+        assert np.abs(lon2 - lon).max() < 2e-8
+        assert np.abs(lat2 - lat).max() < 2e-8
+
+
+def test_mercator_numpy_twin_matches_sql_chain(spark):
+    from pyspark.sql import functions as F
+
+    from geospatial_analysis_integrity_tool_spark.functions.mercator import (
+        mercator_to_geodetic_np,
+        with_mercator_geodetic,
+    )
+
+    rng = np.random.default_rng(41)
+    e = rng.uniform(-1.9e7, 1.9e7, 200)
+    n = rng.uniform(-1.5e7, 1.5e7, 200)
+    df = spark.createDataFrame(
+        list(zip(e.tolist(), n.tolist())), "easting double, northing double"
+    )
+    rows = (
+        with_mercator_geodetic(df, "easting", "northing", 12.0, 0.997, 3e5, 9e5)
+        .orderBy(F.col("easting"))
+        .collect()
+    )
+    order = np.argsort(e)
+    lon_np, lat_np = mercator_to_geodetic_np(e[order], n[order], 12.0, 0.997, 3e5, 9e5)
+    assert np.array_equal(np.array([r.merc_lon for r in rows]), lon_np)
+    assert np.array_equal(np.array([r.merc_lat for r in rows]), lat_np)
