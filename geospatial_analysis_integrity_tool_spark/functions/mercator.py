@@ -41,17 +41,18 @@ _EXP_COEF = [
 ]
 
 
-def sql_exp_poly_quarter(x: str) -> list[tuple[str, str]]:
-    """Stages computing ``_m_exp`` = exp(x) by quartering + degree-13
+def sql_exp_poly_quarter(x: str, prefix: str = "_m") -> list[tuple[str, str]]:
+    """Stages computing ``{prefix}_exp`` = exp(x) by quartering + degree-13
     Taylor (|x| <= ~3.3 -> |x/4| <= 0.83, rel err < 1e-12)."""
+    p = prefix
     body = repr(_EXP_COEF[-1])
     for c in reversed(_EXP_COEF[:-1]):
-        body = f"({_dlit(c)} + _m_q * {body})"
+        body = f"({_dlit(c)} + {p}_q * {body})"
     return [
-        ("_m_q", f"(({x}) / 4.0)"),
-        ("_m_e1", f"(1.0 + _m_q * {body})"),
-        ("_m_e2", "(_m_e1 * _m_e1)"),
-        ("_m_exp", "(_m_e2 * _m_e2)"),
+        (f"{p}_q", f"(({x}) / 4.0)"),
+        (f"{p}_e1", f"(1.0 + {p}_q * {body})"),
+        (f"{p}_e2", f"({p}_e1 * {p}_e1)"),
+        (f"{p}_exp", f"({p}_e2 * {p}_e2)"),
     ]
 
 

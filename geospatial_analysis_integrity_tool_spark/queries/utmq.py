@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.lcc import oracle_lcc_subquery, with_lcc_geodetic
 from ..functions.mercator import oracle_mercator_subquery, with_mercator_geodetic
 from ..functions.utm import (
     oracle_ec_subquery,
@@ -196,12 +197,42 @@ SELECT feature_id, merc_lon, merc_lat
 FROM {oracle_mercator_subquery(_MERC_FIXTURE_SQL, "easting", "northing", MERC_LON0, MERC_K0, MERC_FE, MERC_FN)} q
 """
 
+# --- lcc_ingest_geodetic (Lambert Conformal Conic, system 4) -------------------
+#
+# CONUS-style two-parallel LCC (33N/45N, origin 39N 96W): ln by triple-sqrt
+# atanh reduction, t^(1/n) via exp, conformal series, atan2 theta.
+
+LCC_PARAMS = (-96.0, 33.0, 45.0, 39.0)  # lon0, lat1, lat2, lat0
+
+#: projected window keeping r = rho/(aF) in [0.42, 0.82] (lat ~19..62N)
+_LCC_FIXTURE_SQL = f"""
+SELECT c_custkey AS feature_id,
+       (-2400000.0) + CAST((c_custkey * 7919) % 4800000 AS DOUBLE) AS easting,
+       (-2000000.0) + CAST((c_custkey * 104729) % 4600000 AS DOUBLE) AS northing
+FROM customer
+WHERE c_custkey < {N_FEATURES}
+"""
+
+
+def q_lcc_ingest_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    feats = spark.sql(_LCC_FIXTURE_SQL)
+    out = with_lcc_geodetic(feats, "easting", "northing", *LCC_PARAMS)
+    return out.select("feature_id", "lcc_lon", "lcc_lat")
+
+
+ORACLE_LCC_INGEST = f"""
+SELECT feature_id, lcc_lon, lcc_lat
+FROM {oracle_lcc_subquery(_LCC_FIXTURE_SQL, "easting", "northing", *LCC_PARAMS)} q
+"""
+
 QUERIES = {
     "utm_ingest_geodetic": q_utm_ingest_geodetic,
     "utm_pip_join": q_utm_pip_join,
     "tm_ingest_geodetic": q_tm_ingest_geodetic,
     "ec_ingest_geodetic": q_ec_ingest_geodetic,
     "mercator_ingest_geodetic": q_mercator_ingest_geodetic,
+    "lcc_ingest_geodetic": q_lcc_ingest_geodetic,
 }
 ORACLES = {
     "utm_ingest_geodetic": ORACLE_UTM_INGEST,
@@ -209,4 +240,5 @@ ORACLES = {
     "tm_ingest_geodetic": ORACLE_TM_INGEST,
     "ec_ingest_geodetic": ORACLE_EC_INGEST,
     "mercator_ingest_geodetic": ORACLE_MERC_INGEST,
+    "lcc_ingest_geodetic": ORACLE_LCC_INGEST,
 }

@@ -127,3 +127,56 @@ def test_mercator_numpy_twin_matches_sql_chain(spark):
     lon_np, lat_np = mercator_to_geodetic_np(e[order], n[order], 12.0, 0.997, 3e5, 9e5)
     assert np.array_equal(np.array([r.merc_lon for r in rows]), lon_np)
     assert np.array_equal(np.array([r.merc_lat for r in rows]), lat_np)
+
+
+def test_lcc_inverse_fidelity():
+    """Lambert Conformal Conic (system 4): true-trig forward (Snyder
+    14-1..14-4) inverted by the ln/exp/atan/conformal chain to <2e-8 deg
+    over a CONUS-style window."""
+    from geospatial_analysis_integrity_tool_spark.functions.lcc import (
+        geodetic_to_lcc_np,
+        lcc_to_geodetic_np,
+    )
+
+    rng = np.random.default_rng(37)
+    params = (-96.0, 33.0, 45.0, 39.0)
+    lon = rng.uniform(-130.0, -62.0, 100000)
+    lat = rng.uniform(18.0, 64.0, 100000)
+    x, y = geodetic_to_lcc_np(lon, lat, *params)
+    lon2, lat2 = lcc_to_geodetic_np(x, y, *params)
+    assert np.abs(lon2 - lon).max() < 2e-8
+    assert np.abs(lat2 - lat).max() < 2e-8
+    # a second cone (Europe-style, with false origin)
+    params2 = (10.0, 43.0, 62.0, 52.0)
+    lon = rng.uniform(-15.0, 35.0, 50000)
+    lat = rng.uniform(32.0, 72.0, 50000)
+    x, y = geodetic_to_lcc_np(lon, lat, *params2, 4000000.0, 2800000.0)
+    lon2, lat2 = lcc_to_geodetic_np(x, y, *params2, 4000000.0, 2800000.0)
+    assert np.abs(lon2 - lon).max() < 2e-8
+    assert np.abs(lat2 - lat).max() < 2e-8
+
+
+def test_lcc_numpy_twin_matches_sql_chain(spark):
+    from pyspark.sql import functions as F
+
+    from geospatial_analysis_integrity_tool_spark.functions.lcc import (
+        lcc_to_geodetic_np,
+        with_lcc_geodetic,
+    )
+
+    rng = np.random.default_rng(43)
+    e = rng.uniform(-2.4e6, 2.4e6, 200)
+    n = rng.uniform(-2.0e6, 2.6e6, 200)
+    df = spark.createDataFrame(
+        list(zip(e.tolist(), n.tolist())), "easting double, northing double"
+    )
+    params = (-96.0, 33.0, 45.0, 39.0)
+    rows = (
+        with_lcc_geodetic(df, "easting", "northing", *params)
+        .orderBy(F.col("easting"))
+        .collect()
+    )
+    order = np.argsort(e)
+    lon_np, lat_np = lcc_to_geodetic_np(e[order], n[order], *params)
+    assert np.array_equal(np.array([r.lcc_lon for r in rows]), lon_np)
+    assert np.array_equal(np.array([r.lcc_lat for r in rows]), lat_np)
