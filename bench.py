@@ -110,6 +110,11 @@ HEADLINE = [
     "attr_enum_labels",
     "geo_pip_gait",
     "streaming_pip",
+    # round-4 continuation: remaining map projections + nunanpo modes
+    "ups_ingest_geodetic",
+    "lcc_ingest_geodetic",
+    "mercator_ingest_geodetic",
+    "edgematch_nunanpo_modes",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

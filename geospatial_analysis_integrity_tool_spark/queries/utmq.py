@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.lcc import oracle_lcc_subquery, with_lcc_geodetic
+from ..functions.ltp import oracle_ltp_subquery, with_ltp_geodetic
 from ..functions.mercator import oracle_mercator_subquery, with_mercator_geodetic
 from ..functions.utm import (
     oracle_ec_subquery,
@@ -226,6 +227,35 @@ SELECT feature_id, lcc_lon, lcc_lat
 FROM {oracle_lcc_subquery(_LCC_FIXTURE_SQL, "easting", "northing", *LCC_PARAMS)} q
 """
 
+# --- ltp_ingest_geodetic (Local Tangent Plane, system 12; LSR family 14) -------
+#
+# ENU offsets at a fixed origin -> ECEF (constant rotation) -> Bowring
+# geodetic with two refinement passes, polynomial atan2 throughout.
+
+LTP_ORIGIN = (47.3, 8.5, 400.0)  # lat0, lon0, h0
+
+_LTP_FIXTURE_SQL = f"""
+SELECT c_custkey AS feature_id,
+       (-150000.0) + CAST((c_custkey * 7919) % 300000 AS DOUBLE) AS le,
+       (-150000.0) + CAST((c_custkey * 104729) % 300000 AS DOUBLE) AS ln_,
+       (-100.0) + CAST((c_custkey * 1299709) % 20000 AS DOUBLE) AS lu
+FROM customer
+WHERE c_custkey < {N_FEATURES}
+"""
+
+
+def q_ltp_ingest_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    feats = spark.sql(_LTP_FIXTURE_SQL)
+    out = with_ltp_geodetic(feats, "le", "ln_", "lu", *LTP_ORIGIN)
+    return out.select("feature_id", "ltp_lon", "ltp_lat")
+
+
+ORACLE_LTP_INGEST = f"""
+SELECT feature_id, ltp_lon, ltp_lat
+FROM {oracle_ltp_subquery(_LTP_FIXTURE_SQL, "le", "ln_", "lu", *LTP_ORIGIN)} q
+"""
+
 QUERIES = {
     "utm_ingest_geodetic": q_utm_ingest_geodetic,
     "utm_pip_join": q_utm_pip_join,
@@ -233,6 +263,7 @@ QUERIES = {
     "ec_ingest_geodetic": q_ec_ingest_geodetic,
     "mercator_ingest_geodetic": q_mercator_ingest_geodetic,
     "lcc_ingest_geodetic": q_lcc_ingest_geodetic,
+    "ltp_ingest_geodetic": q_ltp_ingest_geodetic,
 }
 ORACLES = {
     "utm_ingest_geodetic": ORACLE_UTM_INGEST,
@@ -241,4 +272,5 @@ ORACLES = {
     "ec_ingest_geodetic": ORACLE_EC_INGEST,
     "mercator_ingest_geodetic": ORACLE_MERC_INGEST,
     "lcc_ingest_geodetic": ORACLE_LCC_INGEST,
+    "ltp_ingest_geodetic": ORACLE_LTP_INGEST,
 }

@@ -180,3 +180,51 @@ def test_lcc_numpy_twin_matches_sql_chain(spark):
     lon_np, lat_np = lcc_to_geodetic_np(e[order], n[order], *params)
     assert np.array_equal(np.array([r.lcc_lon for r in rows]), lon_np)
     assert np.array_equal(np.array([r.lcc_lat for r in rows]), lat_np)
+
+
+def test_ltp_inverse_fidelity():
+    """Local Tangent Plane (system 12): true-trig geodetic->ECEF->ENU
+    inverted by the constant-rotation + two-pass-Bowring chain to <2e-8 deg
+    at three origins (mid-lat, southern, arctic) with |up| to 20 km."""
+    from geospatial_analysis_integrity_tool_spark.functions.ltp import (
+        geodetic_to_ltp_np,
+        ltp_to_geodetic_np,
+    )
+
+    rng = np.random.default_rng(47)
+    for lat0, lon0, h0 in [(47.3, 8.5, 400.0), (-33.9, 151.2, 0.0),
+                           (71.0, -156.8, 10.0)]:
+        lat = lat0 + rng.uniform(-2.0, 2.0, 50000)
+        lon = lon0 + rng.uniform(-3.0, 3.0, 50000)
+        h = rng.uniform(-100.0, 20000.0, 50000)
+        e, n, u = geodetic_to_ltp_np(lon, lat, h, lat0, lon0, h0)
+        lon2, lat2 = ltp_to_geodetic_np(e, n, u, lat0, lon0, h0)
+        assert np.abs(lon2 - lon).max() < 2e-8
+        assert np.abs(lat2 - lat).max() < 2e-8
+
+
+def test_ltp_numpy_twin_matches_sql_chain(spark):
+    from pyspark.sql import functions as F
+
+    from geospatial_analysis_integrity_tool_spark.functions.ltp import (
+        ltp_to_geodetic_np,
+        with_ltp_geodetic,
+    )
+
+    rng = np.random.default_rng(53)
+    e = rng.uniform(-1.5e5, 1.5e5, 200)
+    n = rng.uniform(-1.5e5, 1.5e5, 200)
+    u = rng.uniform(-100.0, 20000.0, 200)
+    df = spark.createDataFrame(
+        list(zip(e.tolist(), n.tolist(), u.tolist())),
+        "le double, ln_ double, lu double",
+    )
+    rows = (
+        with_ltp_geodetic(df, "le", "ln_", "lu", 47.3, 8.5, 400.0)
+        .orderBy(F.col("le"))
+        .collect()
+    )
+    order = np.argsort(e)
+    lon_np, lat_np = ltp_to_geodetic_np(e[order], n[order], u[order], 47.3, 8.5, 400.0)
+    assert np.array_equal(np.array([r.ltp_lon for r in rows]), lon_np)
+    assert np.array_equal(np.array([r.ltp_lat for r in rows]), lat_np)

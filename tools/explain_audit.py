@@ -262,6 +262,39 @@ AUDIT = {
         "note": "label lookup is one broadcast join on code1 over the "
         "185-row class-name table",
     },
+    "ups_ingest_geodetic": {
+        "want": ["Project", "Union"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+        "note": "polar stereographic inverse (both hemispheres unioned) is "
+        "pure scalar projection riding the scan — zero shuffle, zero Python",
+    },
+    "lcc_ingest_geodetic": {
+        "want": ["Project"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+        "note": "Lambert conic inverse (ln/exp/atan polynomial chain) is "
+        "pure scalar projection — zero shuffle, zero Python",
+    },
+    "mercator_ingest_geodetic": {
+        "want": ["Project"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+        "note": "Mercator inverse (quartered exp + folded atan) is pure "
+        "scalar projection — zero shuffle, zero Python",
+    },
+    "edgematch_nunanpo_modes": {
+        "want": ["Project"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+            "Join",
+        ],
+        "note": "sentinel-set membership is pure CASE/IN projection over "
+        "the scan — no join, no shuffle",
+    },
     "mgcp_overlap_combos": {
         "want": ["BroadcastHashJoin"],
         "forbid": ["SortMergeJoin", "MapInPandas"],
