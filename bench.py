@@ -115,6 +115,9 @@ HEADLINE = [
     "lcc_ingest_geodetic",
     "mercator_ingest_geodetic",
     "edgematch_nunanpo_modes",
+    "tm_ingest_geodetic",
+    "ec_ingest_geodetic",
+    "ltp_ingest_geodetic",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -286,6 +286,27 @@ AUDIT = {
         "note": "Mercator inverse (quartered exp + folded atan) is pure "
         "scalar projection — zero shuffle, zero Python",
     },
+    "tm_ingest_geodetic": {
+        "want": ["Project"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+        "note": "generalized TM inverse — pure scalar projection",
+    },
+    "ec_ingest_geodetic": {
+        "want": ["Project"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+        "note": "equidistant cylindrical inverse — pure scalar projection",
+    },
+    "ltp_ingest_geodetic": {
+        "want": ["Project"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+        "note": "ENU->ECEF->Bowring chain — pure scalar projection",
+    },
     "edgematch_nunanpo_modes": {
         "want": ["Project"],
         "forbid": [
