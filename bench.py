@@ -118,6 +118,7 @@ HEADLINE = [
     "tm_ingest_geodetic",
     "ec_ingest_geodetic",
     "ltp_ingest_geodetic",
+    "om_ingest_geodetic",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.lcc import oracle_lcc_subquery, with_lcc_geodetic
 from ..functions.ltp import oracle_ltp_subquery, with_ltp_geodetic
+from ..functions.om import oracle_om_subquery, with_om_geodetic
 from ..functions.mercator import oracle_mercator_subquery, with_mercator_geodetic
 from ..functions.utm import (
     oracle_ec_subquery,
@@ -256,6 +257,35 @@ SELECT feature_id, ltp_lon, ltp_lat
 FROM {oracle_ltp_subquery(_LTP_FIXTURE_SQL, "le", "ln_", "lu", *LTP_ORIGIN)} q
 """
 
+# --- om_ingest_geodetic (Hotine Oblique Mercator, system 11) -------------------
+#
+# Borneo-RSO-style setup (center 4N 115E, azimuth 53.316, k0 0.99984):
+# exp/sin/atanh/atan all as bounded-domain polynomials.
+
+OM_PARAMS = (4.0, 115.0, 53.316, 0.99984)  # latc, lonc, azimuth, k0
+
+#: natural-origin (u, v) window matching lat -5..12, lon 105..125
+_OM_FIXTURE_SQL = f"""
+SELECT c_custkey AS feature_id,
+       (-700000.0) + CAST((c_custkey * 7919) % 2800000 AS DOUBLE) AS ucoord,
+       (-1300000.0) + CAST((c_custkey * 104729) % 2700000 AS DOUBLE) AS vcoord
+FROM customer
+WHERE c_custkey < {N_FEATURES}
+"""
+
+
+def q_om_ingest_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    feats = spark.sql(_OM_FIXTURE_SQL)
+    out = with_om_geodetic(feats, "ucoord", "vcoord", *OM_PARAMS)
+    return out.select("feature_id", "om_lon", "om_lat")
+
+
+ORACLE_OM_INGEST = f"""
+SELECT feature_id, om_lon, om_lat
+FROM {oracle_om_subquery(_OM_FIXTURE_SQL, "ucoord", "vcoord", *OM_PARAMS)} q
+"""
+
 QUERIES = {
     "utm_ingest_geodetic": q_utm_ingest_geodetic,
     "utm_pip_join": q_utm_pip_join,
@@ -264,6 +294,7 @@ QUERIES = {
     "mercator_ingest_geodetic": q_mercator_ingest_geodetic,
     "lcc_ingest_geodetic": q_lcc_ingest_geodetic,
     "ltp_ingest_geodetic": q_ltp_ingest_geodetic,
+    "om_ingest_geodetic": q_om_ingest_geodetic,
 }
 ORACLES = {
     "utm_ingest_geodetic": ORACLE_UTM_INGEST,
@@ -273,4 +304,5 @@ ORACLES = {
     "mercator_ingest_geodetic": ORACLE_MERC_INGEST,
     "lcc_ingest_geodetic": ORACLE_LCC_INGEST,
     "ltp_ingest_geodetic": ORACLE_LTP_INGEST,
+    "om_ingest_geodetic": ORACLE_OM_INGEST,
 }

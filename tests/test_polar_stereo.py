@@ -228,3 +228,51 @@ def test_ltp_numpy_twin_matches_sql_chain(spark):
     lon_np, lat_np = ltp_to_geodetic_np(e[order], n[order], u[order], 47.3, 8.5, 400.0)
     assert np.array_equal(np.array([r.ltp_lon for r in rows]), lon_np)
     assert np.array_equal(np.array([r.ltp_lat for r in rows]), lat_np)
+
+
+def test_om_inverse_fidelity():
+    """Hotine Oblique Mercator (system 11): true-trig forward (Snyder
+    9-30..9-39) inverted by the exp/atanh/atan polynomial chain to
+    <2e-8 deg on two setups (Borneo RSO, Alaska zone-1 style)."""
+    from geospatial_analysis_integrity_tool_spark.functions.om import (
+        geodetic_to_om_np,
+        om_to_geodetic_np,
+    )
+
+    rng = np.random.default_rng(61)
+    for params, latr, lonr in [
+        ((4.0, 115.0, 53.316, 0.99984), (-5.0, 12.0), (105.0, 125.0)),
+        ((57.0, -133.667, -36.87, 0.9999), (50.0, 64.0), (-145.0, -125.0)),
+    ]:
+        lat = rng.uniform(*latr, 100000)
+        lon = rng.uniform(*lonr, 100000)
+        u, v = geodetic_to_om_np(lon, lat, *params)
+        lon2, lat2 = om_to_geodetic_np(u, v, *params)
+        assert np.abs(lon2 - lon).max() < 2e-8
+        assert np.abs(lat2 - lat).max() < 2e-8
+
+
+def test_om_numpy_twin_matches_sql_chain(spark):
+    from pyspark.sql import functions as F
+
+    from geospatial_analysis_integrity_tool_spark.functions.om import (
+        om_to_geodetic_np,
+        with_om_geodetic,
+    )
+
+    rng = np.random.default_rng(67)
+    u = rng.uniform(-7e5, 2.1e6, 200)
+    v = rng.uniform(-1.3e6, 1.4e6, 200)
+    df = spark.createDataFrame(
+        list(zip(u.tolist(), v.tolist())), "ucoord double, vcoord double"
+    )
+    params = (4.0, 115.0, 53.316, 0.99984)
+    rows = (
+        with_om_geodetic(df, "ucoord", "vcoord", *params)
+        .orderBy(F.col("ucoord"))
+        .collect()
+    )
+    order = np.argsort(u)
+    lon_np, lat_np = om_to_geodetic_np(u[order], v[order], *params)
+    assert np.array_equal(np.array([r.om_lon for r in rows]), lon_np)
+    assert np.array_equal(np.array([r.om_lat for r in rows]), lat_np)

@@ -307,6 +307,13 @@ AUDIT = {
         ],
         "note": "ENU->ECEF->Bowring chain — pure scalar projection",
     },
+    "om_ingest_geodetic": {
+        "want": ["Project"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+        "note": "Hotine oblique Mercator inverse — pure scalar projection",
+    },
     "edgematch_nunanpo_modes": {
         "want": ["Project"],
         "forbid": [
