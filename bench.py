@@ -119,6 +119,7 @@ HEADLINE = [
     "ec_ingest_geodetic",
     "ltp_ingest_geodetic",
     "om_ingest_geodetic",
+    "geo_prox_pairs_euclidean",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -226,3 +226,13 @@ def with_point_seg_dist_m(
         out, F.expr(f"sqrt(_psd_dx * _psd_dx + _psd_dy * _psd_dy){taint}")
     )
     return df.drop(*[n for n, _ in scratch])
+
+
+def sql_euclidean_dist(x1: str, y1: str, x2: str, y2: str) -> str:
+    """Planar distance for PROJECTED-meter coordinates — the reference's
+    Distance() dispatch when the coordinate system is not geodetic
+    (EuclideanDistance TT.c:7128; Ctype() SEEIT_API.c:122).  Same += order
+    as the C: dx2 first, then + dy2."""
+    dx = f"((({x1}) - ({x2})))"
+    dy = f"((({y1}) - ({y2})))"
+    return f"sqrt({dx} * {dx} + {dy} * {dy})"

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.geodesy import (
     sql_dist_m,
+    sql_euclidean_dist,
     sql_point_seg_dist_m,
     with_point_seg_dist_m,
 )
@@ -56,6 +57,7 @@ def point_proximity_pairs(
     tol_m: float = 50000.0,
     cell_deg: float | None = None,
     max_abs_lat_deg: float = 66.0,
+    frame: str = "geodetic",
 ) -> DataFrame:
     """Self-join: unordered point pairs with 0 < dist < tol_m (PTPTPROX 95).
 
@@ -67,12 +69,21 @@ def point_proximity_pairs(
     the width is derived from the worst-case latitude of the dataset (pass the
     true data bound for tighter cells; at scale this comes from the cell
     histogram stats).
+
+    frame: "geodetic" (degrees in, equirect meters — Ctype() == 1) or
+    "euclidean" (PROJECTED meters in, planar distance — the reference's
+    Distance() dispatch to EuclideanDistance when the coordinate system is
+    projected, TT.c:7151/7128, Ctype() SEEIT_API.c:122).  In the euclidean
+    frame the cell width is tol_m itself (coords already meters).
     """
     import math
 
     if cell_deg is None:
-        worst_mlon = 111319.5 * math.cos(math.radians(max_abs_lat_deg))
-        cell_deg = max(tol_m / worst_mlon * 1.001, 1e-6)
+        if frame == "euclidean":
+            cell_deg = tol_m * 1.001
+        else:
+            worst_mlon = 111319.5 * math.cos(math.radians(max_abs_lat_deg))
+            cell_deg = max(tol_m / worst_mlon * 1.001, 1e-6)
     left = _with_cell(points, lon, lat, cell_deg).select(
         F.col(id_col).alias("id_a"),
         F.col(lon).alias("_xa"),
@@ -86,7 +97,10 @@ def point_proximity_pairs(
         "cell",
     )
     pairs = left.join(right, "cell").filter(F.col("id_a") < F.col("id_b"))
-    dist = F.expr(sql_dist_m("_xa", "_ya", "_xb", "_yb"))
+    if frame == "euclidean":
+        dist = F.expr(sql_euclidean_dist("_xa", "_ya", "_xb", "_yb"))
+    else:
+        dist = F.expr(sql_dist_m("_xa", "_ya", "_xb", "_yb"))
     # the left side occupies exactly ONE cell and the right side's k-ring hits
     # that cell at most once, so pairs are already unique — no dedup shuffle
     out = (

@@ -293,12 +293,54 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+# --- geo_prox_pairs_euclidean: PTPTPROX in the PROJECTED measurement frame -----
+#
+# The reference's Distance() switches to planar EuclideanDistance whenever
+# the active coordinate system is projected (TT.c:7151 dispatch,
+# EuclideanDistance TT.c:7128, Ctype() SEEIT_API.c:122) — tolerances then
+# live in projected units, not equirect meters.  Fixture: the geo_sites
+# layer mapped to GAIT-style native units (deg * 100000, the reference's own
+# internal scaling, TTformat.c:29926); tolerance in the same units.  Engine:
+# the identical k-ring cell join with meter-sized cells and the planar
+# refine — proving the measurement-frame switch end-to-end, not just in the
+# parity kernels.
+
+EUCL_TOL_U = 40000.0
+
+
+def q_geo_prox_pairs_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geo_views(spark, sf_dir)
+    pts = spark.table("geo_sites").selectExpr(
+        "site_id", "lon * 100000.0 AS px", "lat * 100000.0 AS py"
+    )
+    return point_proximity_pairs(
+        pts, id_col="site_id", lon="px", lat="py",
+        tol_m=EUCL_TOL_U, frame="euclidean",
+    )
+
+
+_EU_D = (
+    "sqrt(((a.lon * 100000.0) - (b.lon * 100000.0))"
+    " * ((a.lon * 100000.0) - (b.lon * 100000.0))"
+    " + ((a.lat * 100000.0) - (b.lat * 100000.0))"
+    " * ((a.lat * 100000.0) - (b.lat * 100000.0)))"
+)
+ORACLE_GEO_PROX_EUCLIDEAN = f"""
+{oracle_cte('geo_sites')}
+SELECT a.site_id AS id_a, b.site_id AS id_b,
+       CAST(floor({_EU_D} * 1000.0) AS BIGINT) AS dist_mm
+FROM geo_sites a JOIN geo_sites b ON a.site_id < b.site_id
+WHERE {_EU_D} > 0.0 AND {_EU_D} < {EUCL_TOL_U}
+"""
+
+
 QUERIES = {
     "geo_pip": q_geo_pip,
     "geo_pip_gait": q_geo_pip_gait,
     "geo_pip_salted": q_geo_pip_salted,
     "geo_knn": q_geo_knn,
     "geo_prox_pairs": q_geo_prox_pairs,
+    "geo_prox_pairs_euclidean": q_geo_prox_pairs_euclidean,
     "geo_undershoot": q_geo_undershoot,
     "geo_kink": q_geo_kink,
     "geo_dup_geom": q_geo_dup_geom,
@@ -311,6 +353,7 @@ ORACLES = {
     "geo_pip_salted": ORACLE_GEO_PIP,
     "geo_knn": ORACLE_GEO_KNN,
     "geo_prox_pairs": ORACLE_GEO_PROX,
+    "geo_prox_pairs_euclidean": ORACLE_GEO_PROX_EUCLIDEAN,
     "geo_undershoot": ORACLE_GEO_UNDERSHOOT,
     "geo_kink": ORACLE_GEO_KINK,
     "geo_dup_geom": ORACLE_GEO_DUP,
