@@ -120,6 +120,7 @@ HEADLINE = [
     "ltp_ingest_geodetic",
     "om_ingest_geodetic",
     "geo_prox_pairs_euclidean",
+    "geo_feat_length_euclidean",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

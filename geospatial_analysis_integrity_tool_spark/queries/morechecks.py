@@ -212,6 +212,68 @@ WHERE len_mm < {SHORTFEAT_MM} OR len_mm > {LONGFEAT_MM}
 """
 
 
+# --- geo_feat_length_euclidean (SHORTFEAT/LONGFEAT, projected frame) -----------
+#
+# Under a projected coordinate system the reference's Distance() dispatches
+# to planar EuclideanDistance (TT.c:7151/7128; Ctype() SEEIT_API.c:122), so
+# the SEGLEN accumulation (TT.c:4252) runs in projected units.  Fixture:
+# geo_vlines in GAIT native units (deg * 100000, TTformat.c:29926);
+# thresholds in the same units (the 3-decimal truncation applies unchanged).
+
+from ..functions.geodesy import sql_euclidean_dist
+
+#: native-unit thresholds: ~250 m and ~5 km at the equator in deg*1e5 units
+SHORTFEAT_EU_MU = 224_000
+LONGFEAT_EU_MU = 4_492_000
+
+_SEG_EU_MU = sql_trunc3_mm(
+    sql_euclidean_dist(
+        "sax * 100000.0", "say * 100000.0", "sbx * 100000.0", "sby * 100000.0"
+    )
+)
+
+
+def q_feat_length_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_geo_views(spark, sf_dir)
+    segs = segments_of_vertices(spark.table("geo_vlines"))
+    lengths = (
+        segs.selectExpr("line_id", f"{_SEG_EU_MU} AS seg_mu")
+        .groupBy("line_id")
+        .agg(F.sum("seg_mu").alias("len_mu"))
+    )
+    return (
+        lengths.withColumn(
+            "errtype",
+            F.expr(
+                f"CASE WHEN len_mu < {SHORTFEAT_EU_MU} THEN 'SHORTFEAT'"
+                f" WHEN len_mu > {LONGFEAT_EU_MU} THEN 'LONGFEAT' END"
+            ),
+        )
+        .filter(F.col("errtype").isNotNull())
+        .selectExpr("line_id", "errtype", "CAST(len_mu AS BIGINT) AS len_mu")
+    )
+
+
+ORACLE_FEAT_LENGTH_EU = f"""
+{oracle_cte('geo_vlines')},
+segs AS (
+  SELECT a.line_id,
+         a.x AS sax, a.y AS say, b.x AS sbx, b.y AS sby
+  FROM geo_vlines a
+  JOIN geo_vlines b ON a.line_id = b.line_id AND b.vidx = a.vidx + 1
+),
+lens AS (
+  SELECT line_id, CAST(SUM({_SEG_EU_MU}) AS BIGINT) AS len_mu FROM segs GROUP BY 1
+)
+SELECT line_id,
+       CASE WHEN len_mu < {SHORTFEAT_EU_MU} THEN 'SHORTFEAT'
+            WHEN len_mu > {LONGFEAT_EU_MU} THEN 'LONGFEAT' END AS errtype,
+       len_mu
+FROM lens
+WHERE len_mu < {SHORTFEAT_EU_MU} OR len_mu > {LONGFEAT_EU_MU}
+"""
+
+
 # --- geo_area_size_checks (SMALLAREA 3 / BIGAREA 5) ----------------------------
 
 
@@ -284,6 +346,7 @@ QUERIES = {
     "geo_cross_away_from_nodes": q_cross_away_from_nodes,
     "geo_isolated_areas": q_isolated_areas,
     "geo_feat_length_checks": q_feat_length_checks,
+    "geo_feat_length_euclidean": q_feat_length_euclidean,
     "geo_area_size_checks": q_area_size_checks,
 }
 
@@ -292,5 +355,6 @@ ORACLES = {
     "geo_cross_away_from_nodes": ORACLE_NO_NODE_INT,
     "geo_isolated_areas": _isolated_oracle(),
     "geo_feat_length_checks": ORACLE_FEAT_LENGTH,
+    "geo_feat_length_euclidean": ORACLE_FEAT_LENGTH_EU,
     "geo_area_size_checks": _area_size_oracle(),
 }
