@@ -307,6 +307,18 @@ AUDIT = {
         ],
         "note": "ENU->ECEF->Bowring chain — pure scalar projection",
     },
+    "geo_prox_pairs_euclidean": {
+        "want": ["Join"],
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        "note": "Euclidean measurement frame: same k-ring cell join, planar "
+        "refine in codegen — no Python",
+    },
+    "geo_feat_length_euclidean": {
+        "want": ["HashAggregate"],
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        "note": "projected-frame SEGLEN: window-derived segments, planar "
+        "length, exact-integer partial-agg sum",
+    },
     "om_ingest_geodetic": {
         "want": ["Project"],
         "forbid": [
