@@ -24,7 +24,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # the spark-submit --py-files path: package zip already importable
+    import geospatial_analysis_integrity_tool_spark  # noqa: F401
+except ImportError:  # plain `python tools/run_pipeline.py` from a checkout
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n_pages: int, out_dir: str) -> dict:
