@@ -157,13 +157,18 @@ def lcc_stages(easting: str, northing: str, lon0_deg: float,
 def with_lcc_geodetic(df, easting: str, northing: str, lon0_deg: float,
                       lat1_deg: float, lat2_deg: float, lat0_deg: float,
                       false_easting: float = 0.0,
-                      false_northing: float = 0.0):
+                      false_northing: float = 0.0, block_inline: bool = False):
     from pyspark.sql import functions as F
 
     stages = lcc_stages(easting, northing, lon0_deg, lat1_deg, lat2_deg,
                         lat0_deg, false_easting, false_northing)
     for name, expr in stages:
-        df = df.withColumn(name, F.expr(expr))
+        taint = (
+            " + rand(7) * 0.0"  # see utm.with_utm_geodetic docstring
+            if block_inline and not name.startswith("_l")
+            else ""
+        )
+        df = df.withColumn(name, F.expr(expr + taint))
     return df.drop(*[n for n, _ in stages if n.startswith("_l")])
 
 

@@ -124,12 +124,17 @@ def ltp_stages(e: str, n: str, u: str, lat0_deg: float, lon0_deg: float,
 
 
 def with_ltp_geodetic(df, e: str, n: str, u: str, lat0_deg: float,
-                      lon0_deg: float, h0: float = 0.0):
+                      lon0_deg: float, h0: float = 0.0, block_inline: bool = False):
     from pyspark.sql import functions as F
 
     stages = ltp_stages(e, n, u, lat0_deg, lon0_deg, h0)
     for name, expr in stages:
-        df = df.withColumn(name, F.expr(expr))
+        taint = (
+            " + rand(7) * 0.0"  # see utm.with_utm_geodetic docstring
+            if block_inline and not name.startswith("_t_")
+            else ""
+        )
+        df = df.withColumn(name, F.expr(expr + taint))
     return df.drop(*[nm for nm, _ in stages if nm.startswith("_t_")])
 
 

@@ -105,13 +105,18 @@ def mercator_stages(easting: str, northing: str, lon0_deg: float = 0.0,
 def with_mercator_geodetic(df, easting: str, northing: str,
                            lon0_deg: float = 0.0, k0: float = 1.0,
                            false_easting: float = 0.0,
-                           false_northing: float = 0.0):
+                           false_northing: float = 0.0, block_inline: bool = False):
     from pyspark.sql import functions as F
 
     stages = mercator_stages(easting, northing, lon0_deg, k0,
                              false_easting, false_northing)
     for name, expr in stages:
-        df = df.withColumn(name, F.expr(expr))
+        taint = (
+            " + rand(7) * 0.0"  # see utm.with_utm_geodetic docstring
+            if block_inline and not name.startswith("_m")
+            else ""
+        )
+        df = df.withColumn(name, F.expr(expr + taint))
     return df.drop(*[n for n, _ in stages if n.startswith("_m_")])
 
 

@@ -144,12 +144,17 @@ def om_stages(u: str, v: str, latc_deg: float, lonc_deg: float,
 
 
 def with_om_geodetic(df, u: str, v: str, latc_deg: float, lonc_deg: float,
-                     azc_deg: float, k0: float = 1.0):
+                     azc_deg: float, k0: float = 1.0, block_inline: bool = False):
     from pyspark.sql import functions as F
 
     stages = om_stages(u, v, latc_deg, lonc_deg, azc_deg, k0)
     for name, expr in stages:
-        df = df.withColumn(name, F.expr(expr))
+        taint = (
+            " + rand(7) * 0.0"  # see utm.with_utm_geodetic docstring
+            if block_inline and not name.startswith("_o")
+            else ""
+        )
+        df = df.withColumn(name, F.expr(expr + taint))
     return df.drop(*[n for n, _ in stages if n.startswith("_o")])
 
 
