@@ -121,6 +121,7 @@ HEADLINE = [
     "om_ingest_geodetic",
     "geo_prox_pairs_euclidean",
     "geo_feat_length_euclidean",
+    "streaming_utm_pip",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

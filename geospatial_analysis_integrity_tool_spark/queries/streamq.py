@@ -538,12 +538,152 @@ WHERE ({d1} > 0 AND {d2} > 0 AND {d3} > 0)
 """
 
 
+# --- streaming_utm_pip: PROJECTED input through the streaming spatial join -----
+#
+# The round-4 coordinate-system layer composed with the incremental path:
+# a UTM-meter point stream (file source, one parquet per micro-batch) is
+# inverse-transformed IN the stream (with_utm_geodetic — pure scalar
+# projection, stateless, so it adds nothing to streaming state) and
+# stream-static-joined against geo_zones through the same pip_join.  The
+# oracle recomputes the identical transform chain (oracle_utm_subquery)
+# plus the sign-test join closed-form over unnest(range(...)).
+
+UTM_STREAM_N = 1200
+UTM_STREAM_BATCHES = 4
+
+
+def write_utm_stream_fixture(dirpath: str | None = None) -> str:
+    import pandas as pd
+
+    from ..sources.fixtures import fixture_dir
+
+    if dirpath is None:
+        dirpath = fixture_dir("stream_utm_pip_v1")
+    if os.path.exists(os.path.join(dirpath, "_done")):
+        return dirpath
+    rows = []
+    per = UTM_STREAM_N // UTM_STREAM_BATCHES
+    for i in range(UTM_STREAM_N):
+        rows.append(
+            {
+                "point_id": i,
+                "zone": 29 + i % 9,
+                "easting": 150000.0 + float((i * 7919) % 700000),
+                "northing": float((i * 104729) % 8000000),
+                "batch_idx": i // per,
+            }
+        )
+    df = pd.DataFrame(rows)
+    for b, grp in df.groupby("batch_idx"):
+        grp.drop(columns=["batch_idx"]).to_parquet(
+            os.path.join(dirpath, f"b{int(b):03d}.parquet")
+        )
+    open(os.path.join(dirpath, "_done"), "w").write("ok")
+    return dirpath
+
+
+def q_streaming_utm_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.pip import pip_join
+    from ..sources.synthetic import register_geo_views
+
+    register_geo_views(spark, sf_dir)
+    d = write_utm_stream_fixture()
+    for q in spark.streams.active:
+        if q.name == "streaming_utm_pip_sink":
+            q.stop()
+    src = (
+        spark.readStream.schema(
+            "point_id long, zone long, easting double, northing double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    # transform via the Arrow-batched numpy twin (bit-identical to the SQL
+    # stage chain — tests/test_utm.py::test_utm_numpy_twin_matches_sql_chain;
+    # one mapInPandas node keeps per-micro-batch re-analysis O(1) instead of
+    # re-planning the 24-stage expression tree every trigger)
+    def _xform(batches):
+        from ..functions.utm import utm_to_geodetic_np
+
+        for pdf in batches:
+            lon, lat = utm_to_geodetic_np(
+                pdf["easting"].to_numpy(),
+                pdf["northing"].to_numpy(),
+                pdf["zone"].to_numpy(),
+            )
+            out = pdf[["point_id"]].copy()
+            out["lon"] = lon
+            out["lat"] = lat
+            out["fcode"] = "STRPT"
+            yield out
+
+    pts = src.mapInPandas(
+        _xform, "point_id long, lon double, lat double, fcode string"
+    )
+    zones = spark.table("geo_zones").select(
+        F.col("zone_id"),
+        F.array("x1", "x2", "x3").alias("xs"),
+        F.array("y1", "y2", "y3").alias("ys"),
+    )
+    out = pip_join(pts, zones, point_id="point_id", poly_id="zone_id").select(
+        "point_id", "zone_id"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("streaming_utm_pip_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination(300)
+    return spark.table("streaming_utm_pip_sink").select("point_id", "zone_id")
+
+
+def _utm_stream_oracle() -> str:
+    from ..functions.utm import oracle_utm_subquery
+    from ..sources.synthetic import oracle_cte
+
+    def sign(p, a, b):
+        px, py = p
+        ax, ay = a
+        bx, by = b
+        return (
+            f"(({px} - {bx}) * ({ay} - {by}) - ({ax} - {bx}) * ({py} - {by}))"
+        )
+
+    inner = f"""
+  SELECT i AS point_id,
+         CAST(29 + i % 9 AS INT) AS zone,
+         150000.0 + CAST((i * 7919) % 700000 AS DOUBLE) AS easting,
+         CAST((i * 104729) % 8000000 AS DOUBLE) AS northing
+  FROM (SELECT unnest(range(0, {UTM_STREAM_N})) AS i)
+"""
+    d1 = sign(("p.utm_lon", "p.utm_lat"), ("z.x1", "z.y1"), ("z.x2", "z.y2"))
+    d2 = sign(("p.utm_lon", "p.utm_lat"), ("z.x2", "z.y2"), ("z.x3", "z.y3"))
+    d3 = sign(("p.utm_lon", "p.utm_lat"), ("z.x3", "z.y3"), ("z.x1", "z.y1"))
+    return f"""
+{oracle_cte('geo_zones')}
+SELECT p.point_id, z.zone_id
+FROM {oracle_utm_subquery(inner, "easting", "northing", "zone")} p, geo_zones z
+WHERE ({d1} > 0 AND {d2} > 0 AND {d3} > 0)
+   OR ({d1} < 0 AND {d2} < 0 AND {d3} < 0)
+"""
+
+
 QUERIES = {
     "streaming_first_seen": q_streaming_first_seen,
     "streaming_windowed_counts": q_streaming_windowed,
     "streaming_url_consolidate": q_streaming_url_consolidate,
     "streaming_extract_sink": q_streaming_extract_sink,
     "streaming_pip": q_streaming_pip,
+    "streaming_utm_pip": q_streaming_utm_pip,
 }
 ORACLES = {
     "streaming_first_seen": ORACLE_STREAMING_FIRST_SEEN,
@@ -551,4 +691,5 @@ ORACLES = {
     "streaming_url_consolidate": ORACLE_STREAMING_URL_CONSOLIDATE,
     "streaming_extract_sink": _oracle_extract_sink(500),
     "streaming_pip": _pip_stream_oracle(),
+    "streaming_utm_pip": _utm_stream_oracle(),
 }
