@@ -583,3 +583,50 @@ def test_is_flakey_nunanpo_bitexact(oracle):
             assert oracle.is_flakey_nunanpo(None, float(d), mode) == twin_num(float(d), mode), (d, mode)
             n += 1
     assert n > 60000
+
+
+def test_sensitivity_check_bitexact(oracle):
+    """SensitivityCheck (TT.c:13798) vs the engine's nine-op predicate table
+    (operators/checkspec.SENSITIVITY_OPS), including the numthresholds
+    gating quirk: with numthresholds == 0 BOTH limits stay 0.0, and with
+    numthresholds == 1 the interval ops compare against limit2 == 0.0 —
+    the engine twin reproduces the limits the reference would use."""
+    ops = {
+        1: ("LT", 1), 2: ("LTEQ", 1), 3: ("EQEQ", 1), 4: ("GTEQ", 1),
+        5: ("GT", 1), 6: ("OPENINT", 2), 7: ("GTCLOSED", 2),
+        8: ("CLOSEDINT", 2), 9: ("LTCLOSED", 2),
+    }
+
+    def twin(opcode, value, numthresholds, s1, s2):
+        limit1 = s1 if numthresholds > 0 else 0.0
+        limit2 = s2 if numthresholds > 1 else 0.0
+        name = ops[opcode][0]
+        return int({
+            "LT": value < limit1,
+            "LTEQ": value <= limit1,
+            "EQEQ": value == limit1,
+            "GTEQ": value >= limit1,
+            "GT": value > limit1,
+            "OPENINT": value > limit1 and value < limit2,
+            "GTCLOSED": value >= limit1 and value < limit2,
+            "CLOSEDINT": value >= limit1 and value <= limit2,
+            "LTCLOSED": value > limit1 and value <= limit2,
+        }[name])
+
+    rng = np.random.default_rng(71)
+    n = 0
+    for _ in range(4000):
+        s1 = float(rng.choice([0.0, 1.0, 2.5, -3.0, 1e-9, 250.0]))
+        s2 = float(rng.choice([0.0, 1.0, 5.0, 1e6, s1]))
+        nt = int(rng.integers(0, 3))
+        oracle.set_check(1, nt, s1, s2)
+        # values concentrated on the thresholds to hit every == branch
+        vals = [s1, s2, s1 - 1e-12, s1 + 1e-12, s2 - 1e-12, s2 + 1e-12,
+                0.0, float(rng.uniform(-10, 10))]
+        for opcode in range(1, 10):
+            for v in vals:
+                got = oracle.sensitivity_check(opcode, 0, 1, float(v))
+                assert got == twin(opcode, float(v), nt, s1, s2), (
+                    opcode, v, nt, s1, s2)
+                n += 1
+    assert n == 4000 * 9 * 8

@@ -53,6 +53,7 @@ _FUNCTIONS = [
     ("TT.c", "EqualWithinTolerance"),
     ("TT.c", "NearlyEqual"),
     ("TT.c", "IsFlakeyNUNANPOvalue"),
+    ("TT.c", "SensitivityCheck"),
     ("TT.c", "PointToLineDist2D"),
     ("TT.c", "PointToFullLineDist2D"),
     ("TT.c", "PointOnLineSegment"),
@@ -142,6 +143,26 @@ int EqualWithinTolerance(double x1, double y1, double x2, double y2,
                          double tolerance);
 int NearlyEqual(double v1, double v2);
 int IsFlakeyNUNANPOvalue(char *in_strvalue, double dvalue, int AllowUnknown);
+
+/* sensitivity-op macros (TTshare.h:18-26) + the minimal ActiveChecks slice
+   SensitivityCheck reads (numthresholds / sensitivity / sensitivity2) */
+#define LT 1
+#define LTEQ 2
+#define EQEQ 3
+#define GTEQ 4
+#define GT 5
+#define OPENINT 6
+#define GTCLOSED 7
+#define CLOSEDINT 8
+#define LTCLOSED 9
+struct RefOracleCheck { int numthresholds; double sensitivity; double sensitivity2; };
+struct RefOracleCheck ActiveChecks[8];
+void RefOracle_SetCheck(int idx, int numthresholds, double s1, double s2) {
+    ActiveChecks[idx].numthresholds = numthresholds;
+    ActiveChecks[idx].sensitivity = s1;
+    ActiveChecks[idx].sensitivity2 = s2;
+}
+int SensitivityCheck(int GT_LT_EQ, int checktype, int checknum, double checkvalue);
 double PointToLineDist2D(double xj, double yj, double xk, double yk,
                          double xl, double yl);
 int PointOnLineSegment(double px, double py, double x1, double y1,
@@ -328,6 +349,10 @@ class RefOracle:
         L.LineSegmentsIntersect.argtypes = [D] * 8 + [PD, PD]
         L.IsFlakeyNUNANPOvalue.restype = I
         L.IsFlakeyNUNANPOvalue.argtypes = [ctypes.c_char_p, D, I]
+        L.RefOracle_SetCheck.restype = None
+        L.RefOracle_SetCheck.argtypes = [I, I, D, D]
+        L.SensitivityCheck.restype = I
+        L.SensitivityCheck.argtypes = [I, I, I, D]
 
     # -- globals ------------------------------------------------------------
     @property
@@ -478,6 +503,14 @@ class RefOracle:
         all nunanpo incl. Unknown family, 3 = all less 'Unknown')."""
         b = strval.encode() if strval is not None else None
         return self._lib.IsFlakeyNUNANPOvalue(b, float(dvalue), int(allow_unknown))
+
+    def set_check(self, idx, numthresholds, s1, s2) -> None:
+        """Populate the shim ActiveChecks slice for SensitivityCheck."""
+        self._lib.RefOracle_SetCheck(idx, numthresholds, float(s1), float(s2))
+
+    def sensitivity_check(self, op, checktype, checknum, value) -> int:
+        """SensitivityCheck (TT.c:13798): the 9-op threshold dispatch."""
+        return self._lib.SensitivityCheck(op, checktype, checknum, float(value))
 
     def line_equation(self, x1, y1, x2, y2) -> tuple[float, float, float]:
         A = ctypes.c_double(0.0)
