@@ -630,3 +630,65 @@ def test_sensitivity_check_bitexact(oracle):
                     opcode, v, nt, s1, s2)
                 n += 1
     assert n == 4000 * 9 * 8
+
+
+def test_sensitivity_resolution_family_bitexact(oracle):
+    """FindSpecificSensitivity / FindRelevantSensitivity /
+    FindMaxSensitivities (TT.c:2213/2266/2291) vs Python twins — including
+    the clone-max BREAK-TO-ZERO quirk: if ANY instance of a check type
+    carries numthresholds < 1, FindMaxSensitivities abandons the scan and
+    returns (0, 0) regardless of other clones' thresholds.  The engine's
+    resolve_tolerances (operators/checkspec.py) assumes every active clone
+    carries thresholds (its spec model has no threshold-less clones); this
+    test documents the reference behavior for when that assumption is
+    relaxed."""
+    rng = np.random.default_rng(79)
+    for _ in range(1500):
+        n_checks = int(rng.integers(1, 9))
+        checks = []
+        for i in range(n_checks):
+            number = int(rng.integers(100, 104))
+            nt = int(rng.integers(0, 7))
+            s = [float(x) for x in rng.uniform(-5, 100, 6)]
+            checks.append((number, nt, s))
+            oracle.set_check_full(i, number, nt, s)
+        oracle.set_ttl_active_checks(n_checks)
+
+        # FindSpecificSensitivity: slot dispatch gated on numthresholds
+        for i, (number, nt, s) in enumerate(checks):
+            for ctype in (number, number + 1):
+                for slot in range(0, 8):
+                    got = oracle.find_specific_sensitivity(slot, ctype, i)
+                    if ctype != number or slot < 1 or slot > 6 or nt < slot:
+                        want = (0, got[1])  # answer untouched on miss
+                    else:
+                        want = (1, s[slot - 1])
+                    assert got[0] == want[0], (i, ctype, slot)
+                    if got[0]:
+                        assert got[1] == want[1]
+
+        # FindRelevantSensitivity: (s1, s2) with numthresholds gating
+        for i, (number, nt, s) in enumerate(checks):
+            for ctype in (number, number + 1):
+                s1, s2 = oracle.find_relevant_sensitivity(ctype, i)
+                if ctype != number:
+                    assert s1 == 0.0
+                elif nt < 1:
+                    assert (s1, s2) == (0.0, 0.0)
+                else:
+                    assert s1 == s[0]
+                    assert s2 == (s[1] if nt > 1 else 0.0)
+
+        # FindMaxSensitivities: clone max with the break-to-zero quirk
+        for ctype in range(100, 104):
+            s1, s2 = oracle.find_max_sensitivities(ctype)
+            w1 = w2 = 0.0
+            for number, nt, s in checks:
+                if number != ctype:
+                    continue
+                if nt < 1:
+                    w1 = w2 = 0.0
+                    break
+                w1 = max(w1, s[0])
+                w2 = max(w2, s[1])
+            assert (s1, s2) == (w1, w2), (ctype, checks)

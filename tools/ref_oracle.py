@@ -54,6 +54,9 @@ _FUNCTIONS = [
     ("TT.c", "NearlyEqual"),
     ("TT.c", "IsFlakeyNUNANPOvalue"),
     ("TT.c", "SensitivityCheck"),
+    ("TT.c", "FindSpecificSensitivity"),
+    ("TT.c", "FindRelevantSensitivity"),
+    ("TT.c", "FindMaxSensitivities"),
     ("TT.c", "PointToLineDist2D"),
     ("TT.c", "PointToFullLineDist2D"),
     ("TT.c", "PointOnLineSegment"),
@@ -155,14 +158,34 @@ int IsFlakeyNUNANPOvalue(char *in_strvalue, double dvalue, int AllowUnknown);
 #define GTCLOSED 7
 #define CLOSEDINT 8
 #define LTCLOSED 9
-struct RefOracleCheck { int numthresholds; double sensitivity; double sensitivity2; };
-struct RefOracleCheck ActiveChecks[8];
+struct RefOracleCheck {
+    int number; int numthresholds;
+    double sensitivity; double sensitivity2; double sensitivity3;
+    double sensitivity4; double sensitivity5; double sensitivity6;
+};
+struct RefOracleCheck ActiveChecks[16];
+int TtlActiveChecks = 0;
 void RefOracle_SetCheck(int idx, int numthresholds, double s1, double s2) {
     ActiveChecks[idx].numthresholds = numthresholds;
     ActiveChecks[idx].sensitivity = s1;
     ActiveChecks[idx].sensitivity2 = s2;
 }
+void RefOracle_SetCheckFull(int idx, int number, int numthresholds,
+                            double s1, double s2, double s3, double s4,
+                            double s5, double s6) {
+    ActiveChecks[idx].number = number;
+    ActiveChecks[idx].numthresholds = numthresholds;
+    ActiveChecks[idx].sensitivity = s1;
+    ActiveChecks[idx].sensitivity2 = s2;
+    ActiveChecks[idx].sensitivity3 = s3;
+    ActiveChecks[idx].sensitivity4 = s4;
+    ActiveChecks[idx].sensitivity5 = s5;
+    ActiveChecks[idx].sensitivity6 = s6;
+}
 int SensitivityCheck(int GT_LT_EQ, int checktype, int checknum, double checkvalue);
+int FindSpecificSensitivity(int number, int checktype, int checknum, double *answer);
+double FindRelevantSensitivity(int checktype, int checknum, double *sensitivity2);
+double FindMaxSensitivities(int checktype, double *sensitivity2);
 double PointToLineDist2D(double xj, double yj, double xk, double yk,
                          double xl, double yl);
 int PointOnLineSegment(double px, double py, double x1, double y1,
@@ -351,8 +374,16 @@ class RefOracle:
         L.IsFlakeyNUNANPOvalue.argtypes = [ctypes.c_char_p, D, I]
         L.RefOracle_SetCheck.restype = None
         L.RefOracle_SetCheck.argtypes = [I, I, D, D]
+        L.RefOracle_SetCheckFull.restype = None
+        L.RefOracle_SetCheckFull.argtypes = [I, I, I] + [D] * 6
         L.SensitivityCheck.restype = I
         L.SensitivityCheck.argtypes = [I, I, I, D]
+        L.FindSpecificSensitivity.restype = I
+        L.FindSpecificSensitivity.argtypes = [I, I, I, PD]
+        L.FindRelevantSensitivity.restype = D
+        L.FindRelevantSensitivity.argtypes = [I, I, PD]
+        L.FindMaxSensitivities.restype = D
+        L.FindMaxSensitivities.argtypes = [I, PD]
 
     # -- globals ------------------------------------------------------------
     @property
@@ -511,6 +542,31 @@ class RefOracle:
     def sensitivity_check(self, op, checktype, checknum, value) -> int:
         """SensitivityCheck (TT.c:13798): the 9-op threshold dispatch."""
         return self._lib.SensitivityCheck(op, checktype, checknum, float(value))
+
+    def set_check_full(self, idx, number, numthresholds, s=(0, 0, 0, 0, 0, 0)):
+        self._lib.RefOracle_SetCheckFull(
+            idx, number, numthresholds, *[float(v) for v in s]
+        )
+
+    def set_ttl_active_checks(self, n) -> None:
+        ctypes.c_int.in_dll(self._lib, "TtlActiveChecks").value = int(n)
+
+    def find_specific_sensitivity(self, number, checktype, checknum):
+        out = ctypes.c_double(0.0)
+        found = self._lib.FindSpecificSensitivity(
+            number, checktype, checknum, ctypes.byref(out)
+        )
+        return found, out.value
+
+    def find_relevant_sensitivity(self, checktype, checknum):
+        s2 = ctypes.c_double(0.0)
+        s1 = self._lib.FindRelevantSensitivity(checktype, checknum, ctypes.byref(s2))
+        return s1, s2.value
+
+    def find_max_sensitivities(self, checktype):
+        s2 = ctypes.c_double(0.0)
+        s1 = self._lib.FindMaxSensitivities(checktype, ctypes.byref(s2))
+        return s1, s2.value
 
     def line_equation(self, x1, y1, x2, y2) -> tuple[float, float, float]:
         A = ctypes.c_double(0.0)
