@@ -767,3 +767,184 @@ def point_on_quarter_degree_boundary_gait(px, py, tolerance, xt: float = 0.0,
     dist_x = distance_gait(px, py, px + dx, py, xt, yt)
     hit_x = dist_x <= tolerance
     return (hit_y | hit_x).astype(np.int32)
+
+
+def strictly_between_gait(x, y, x1, y1, x2, y2) -> int:
+    """StrictlyBetween (TT.c:9484): per-axis open betweenness with the
+    degenerate-equal fallbacks, exact branch order."""
+    answer = 0
+    if x1 <= x2 and x1 < x < x2:
+        answer = 1
+    elif x2 <= x1 and x2 < x < x1:
+        answer = 1
+    elif x1 == x2 and x1 == x:
+        answer = 1
+    if answer == 1:
+        answer = 0
+        if y1 <= y2 and y1 < y < y2:
+            answer = 1
+        elif y2 <= y1 and y2 < y < y1:
+            answer = 1
+        elif y2 == y1 and y2 == y:
+            answer = 1
+    return answer
+
+
+def between_gait(x, y, x1, y1, x2, y2) -> int:
+    """Between (TT.c:9508): closed-interval per-axis betweenness."""
+    answer = 0
+    if x1 <= x2 and x1 <= x <= x2:
+        answer = 1
+    elif x2 <= x1 and x2 <= x <= x1:
+        answer = 1
+    if answer == 1:
+        answer = 0
+        if y1 <= y2 and y1 <= y <= y2:
+            answer = 1
+        elif y2 <= y1 and y2 <= y <= y1:
+            answer = 1
+    return answer
+
+
+def point_to_line_dist3d_gait(xp, yp, zp, xl1, yl1, zl1, xl2, yl2, zl2) -> float:
+    """PointToLineDist (TT.c:7358): clamped 3D point-to-segment distance
+    (degenerate segment -> endpoint distance via t = -1)."""
+    if xl1 == xl2 and yl1 == yl2 and zl1 == zl2:
+        t = -1.0
+        f = g = h = 0.0
+    else:
+        f = xl2 - xl1
+        g = yl2 - yl1
+        h = zl2 - zl1
+        v1 = f * f + g * g + h * h
+        t = f * (xp - xl1) + g * (yp - yl1) + h * (zp - zl1)
+        t = t / v1
+    if t <= 0:
+        return float(distance3d_gait(xp, yp, zp, xl1, yl1, zl1))
+    if t >= 1:
+        return float(distance3d_gait(xp, yp, zp, xl2, yl2, zl2))
+    xn = xl1 + f * t
+    yn = yl1 + g * t
+    zn = zl1 + h * t
+    return float(distance3d_gait(xp, yp, zp, xn, yn, zn))
+
+
+def three_points_colinear_gait(x, y, z) -> int:
+    """ThreePointsAreColinear (TT.c:3964): parametric deviation against
+    the +-0.0001 window, exact branch/cascade order (note the x[1]==x[2]
+    and x[0]!=x[1] case returns 0 without testing y/z)."""
+    if x[1] == x[2]:
+        if x[0] == x[1]:
+            if y[1] == y[2]:
+                if y[1] == y[0]:
+                    return 1
+            elif z[1] == z[2]:
+                if z[1] == z[0]:
+                    return 1
+            else:
+                t = (y[0] - y[1]) / (y[2] - y[1])
+                t2 = z[0] - (z[1] + (z[2] - z[1]) * t)
+                if -0.0001 < t2 < 0.0001:
+                    return 1
+        return 0
+    t = (x[0] - x[1]) / (x[2] - x[1])
+    t2 = y[0] - (y[1] + (y[2] - y[1]) * t)
+    if -0.0001 < t2 < 0.0001:
+        t2 = z[0] - (z[1] + (z[2] - z[1]) * t)
+        if -0.0001 < t2 < 0.0001:
+            return 1
+    return 0
+
+
+def point_in_areal_gait(px, py, X, Y) -> tuple[int, int]:
+    """PointInAreal (TT.c:10086): ray-cast containment + the 1e-5
+    on-edge refinement over every ring edge (j = previous vertex)."""
+    inside = int(point_inside_poly_gait_ring(
+        np.array([px], dtype=np.float64), np.array([py], dtype=np.float64),
+        np.asarray(X, dtype=np.float64), np.asarray(Y, dtype=np.float64),
+    )[0])
+    on_edge = 0
+    if inside > 0:
+        n = len(X)
+        for i in range(n):
+            j = n - 1 if i == 0 else i - 1
+            d = float(point_to_line_dist2d_gait(px, py, X[j], Y[j], X[i], Y[i]))
+            if d < 0.00001:
+                on_edge = 1
+                break
+    return inside, on_edge
+
+
+def sliver_rating_gait(x, y, z) -> tuple[int, float, float, float]:
+    """CalculateSliverRating (TT.c:10438): consecutive-duplicate squeeze
+    (bug-compatible single-pass shifting), colinear-corner reduction
+    capped at 4 kept corners, then min/max clamped 3D point-to-line over
+    the corner set; rated only when <= 3 effective corners survive."""
+    x = [float(v) for v in x]
+    y = [float(v) for v in y]
+    z = [float(v) for v in z]
+    vtxcnt = len(x)
+    if vtxcnt > 0:
+        j = 0
+        newV = vtxcnt
+        i = 1
+        while i < newV:
+            if x[j] == x[i] and y[j] == y[i] and z[j] == z[i]:
+                newV -= 1
+                for k in range(i, vtxcnt):
+                    x[k - 1] = x[k]
+                    y[k - 1] = y[k]
+                    z[k - 1] = z[k]
+            j = i
+            i += 1
+        vtxcnt = newV
+
+    def _wh_from(pts):
+        n = len(pts)
+        width = height = point_to_line_dist3d_gait(
+            *pts[0], *pts[1], *pts[2])
+        for i in range(n):
+            jj = (i + 1) % n
+            kk = (i + 2) % n
+            while kk != i:
+                w = point_to_line_dist3d_gait(*pts[i], *pts[jj], *pts[kk])
+                width = min(width, w)
+                height = max(height, w)
+                jj = kk
+                kk = (kk + 1) % n
+        return width, height
+
+    if vtxcnt == 3:
+        width = height = point_to_line_dist3d_gait(
+            x[0], y[0], z[0], x[1], y[1], z[1], x[2], y[2], z[2])
+        w = point_to_line_dist3d_gait(
+            x[1], y[1], z[1], x[0], y[0], z[0], x[2], y[2], z[2])
+        width = min(width, w)
+        height = max(height, w)
+        w = point_to_line_dist3d_gait(
+            x[2], y[2], z[2], x[0], y[0], z[0], x[1], y[1], z[1])
+        width = min(width, w)
+        height = max(height, w)
+        if height == 0:
+            return 1, 0.0, 0.0, 0.0
+        return 1, width, height, width / height
+    kept = []
+    v = vtxcnt - 1
+    for i in range(vtxcnt):
+        jj = (i + 1) % vtxcnt
+        kk = (i + v) % vtxcnt
+        tx = [x[i], x[kk], x[jj]]
+        ty = [y[i], y[kk], y[jj]]
+        tz = [z[i], z[kk], z[jj]]
+        if three_points_colinear_gait(tx, ty, tz) == 0:
+            kept.append((x[i], y[i], z[i]))
+            if len(kept) > 4:
+                break
+    if len(kept) < 3:
+        return 1, 0.0, 0.0, 0.0
+    if len(kept) == 3:
+        width, height = _wh_from(kept)
+        if height == 0:
+            return 1, 0.0, 0.0, 0.0
+        return 1, width, height, width / height
+    return 0, 0.0, 0.0, 0.0

@@ -692,3 +692,95 @@ def test_sensitivity_resolution_family_bitexact(oracle):
                 w1 = max(w1, s[0])
                 w2 = max(w2, s[1])
             assert (s1, s2) == (w1, w2), (ctype, checks)
+
+
+def test_betweenness_and_3d_segment_dist_bitexact(oracle):
+    """StrictlyBetween / Between (TT.c:9484/9508) and the clamped 3D
+    point-to-segment distance (PointToLineDist TT.c:7358) vs the gait_parity
+    twins — quantized grids force the exact-tie branches."""
+    rng = np.random.default_rng(83)
+    q = lambda n: np.round(rng.uniform(-5, 5, n) * 2) / 2  # .5 grid -> ties
+    for _ in range(60):
+        xs, ys = q(200), q(200)
+        x1, y1, x2, y2 = q(1)[0], q(1)[0], q(1)[0], q(1)[0]
+        for x, y in zip(xs, ys):
+            assert oracle.strictly_between(x, y, x1, y1, x2, y2) == \
+                gp.strictly_between_gait(x, y, x1, y1, x2, y2)
+            assert oracle.between(x, y, x1, y1, x2, y2) == \
+                gp.between_gait(x, y, x1, y1, x2, y2)
+    n = 0
+    for _ in range(20000):
+        args = [float(v) for v in rng.uniform(-100, 100, 9)]
+        if rng.random() < 0.15:  # degenerate segment branch
+            args[3:6] = args[6:9]
+        got = oracle.point_to_line_dist_3d(*args)
+        want = gp.point_to_line_dist3d_gait(*args)
+        assert got == want, args
+        n += 1
+    assert n == 20000
+
+
+def test_colinear_point_in_areal_sliver_bitexact(oracle):
+    """ThreePointsAreColinear (TT.c:3964), PointInAreal's on-edge
+    refinement (TT.c:10086), and CalculateSliverRating (TT.c:10438 — the
+    duplicate squeeze, corner reduction capped at 4, and the <=3-corner
+    rating rule) vs the gait_parity twins, bit-for-bit."""
+    rng = np.random.default_rng(89)
+    # colinear: quantized + exactly-planted collinear triples
+    for _ in range(30000):
+        if rng.random() < 0.5:
+            xs = np.round(rng.uniform(-5, 5, 3) * 4) / 4
+            ys = np.round(rng.uniform(-5, 5, 3) * 4) / 4
+            zs = np.round(rng.uniform(-5, 5, 3) * 4) / 4
+        else:  # exact parametric point with small perturbation
+            t = rng.uniform(-2, 2)
+            p1 = rng.uniform(-5, 5, 3)
+            p2 = rng.uniform(-5, 5, 3)
+            p0 = p1 + (p2 - p1) * t + rng.choice(
+                [0.0, 5e-5, -5e-5, 2e-4]) * rng.integers(0, 2, 3)
+            xs = np.array([p0[0], p1[0], p2[0]])
+            ys = np.array([p0[1], p1[1], p2[1]])
+            zs = np.array([p0[2], p1[2], p2[2]])
+        if rng.random() < 0.2:
+            xs[1] = xs[2]
+        if rng.random() < 0.2:
+            xs[0] = xs[1]
+        assert oracle.three_points_colinear(xs, ys, zs) == \
+            gp.three_points_colinear_gait(list(xs), list(ys), list(zs))
+    # point-in-areal: rings with the query point ON edges and vertices
+    for _ in range(4000):
+        k = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        xs = np.round(np.cos(ang) * 40) / 10
+        ys = np.round(np.sin(ang) * 40) / 10
+        which = rng.random()
+        if which < 0.3:  # on a vertex
+            i = int(rng.integers(0, k))
+            px, py = float(xs[i]), float(ys[i])
+        elif which < 0.6:  # on an edge midpoint
+            i = int(rng.integers(0, k))
+            j = (i + 1) % k
+            px = (float(xs[i]) + float(xs[j])) / 2.0
+            py = (float(ys[i]) + float(ys[j])) / 2.0
+        else:
+            px, py = float(rng.uniform(-5, 5)), float(rng.uniform(-5, 5))
+        assert oracle.point_in_areal(px, py, xs, ys) == \
+            gp.point_in_areal_gait(px, py, xs, ys)
+    # sliver rating: triangles, squeezed duplicates, colinear-chain rings
+    for _ in range(4000):
+        k = int(rng.integers(3, 10))
+        xs = list(np.round(rng.uniform(-10, 10, k) * 2) / 2)
+        ys = list(np.round(rng.uniform(-10, 10, k) * 2) / 2)
+        zs = list(np.round(rng.uniform(-1, 1, k) * 2) / 2)
+        if rng.random() < 0.4 and k >= 4:  # plant consecutive duplicates
+            i = int(rng.integers(1, k))
+            xs[i] = xs[i - 1]; ys[i] = ys[i - 1]; zs[i] = zs[i - 1]
+        if rng.random() < 0.4 and k >= 5:  # plant a collinear chain
+            xs[2] = (xs[1] + xs[3]) / 2.0
+            ys[2] = (ys[1] + ys[3]) / 2.0
+            zs[2] = (zs[1] + zs[3]) / 2.0
+        got = oracle.sliver_rating(xs, ys, zs)
+        want = gp.sliver_rating_gait(xs, ys, zs)
+        assert got[0] == want[0], (xs, ys, zs)
+        if got[0]:
+            assert got[1:] == want[1:], (xs, ys, zs)

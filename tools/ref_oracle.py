@@ -57,6 +57,12 @@ _FUNCTIONS = [
     ("TT.c", "FindSpecificSensitivity"),
     ("TT.c", "FindRelevantSensitivity"),
     ("TT.c", "FindMaxSensitivities"),
+    ("TT.c", "StrictlyBetween"),
+    ("TT.c", "Between"),
+    ("TT.c", "PointToLineDist"),
+    ("TT.c", "ThreePointsAreColinear"),
+    ("TT.c", "PointInAreal"),
+    ("TT.c", "CalculateSliverRating"),
     ("TT.c", "PointToLineDist2D"),
     ("TT.c", "PointToFullLineDist2D"),
     ("TT.c", "PointOnLineSegment"),
@@ -73,7 +79,10 @@ _FUNCTIONS = [
 _SHIM = """
 #include <math.h>
 #include <stdio.h>
+#include <stdlib.h>
 #include <string.h>
+
+int SzD = sizeof(double); /* interface.c's unified element size */
 
 #define PIvalue 3.141592653589793
 #define WGS84degreeLength 111319.5
@@ -186,6 +195,14 @@ int SensitivityCheck(int GT_LT_EQ, int checktype, int checknum, double checkvalu
 int FindSpecificSensitivity(int number, int checktype, int checknum, double *answer);
 double FindRelevantSensitivity(int checktype, int checknum, double *sensitivity2);
 double FindMaxSensitivities(int checktype, double *sensitivity2);
+int StrictlyBetween(double x, double y, double x1, double y1, double x2, double y2);
+int Between(double x, double y, double x1, double y1, double x2, double y2);
+double PointToLineDist(double xp, double yp, double zp, double xl1, double yl1,
+                       double zl1, double xl2, double yl2, double zl2);
+int ThreePointsAreColinear(double *x, double *y, double *z);
+int PointInAreal(double px, double py, double *x, double *y, int numverts, int *OnEdge);
+int CalculateSliverRating(double *x, double *y, double *z, int vtxcnt,
+                          double *width, double *height, double *ratio);
 double PointToLineDist2D(double xj, double yj, double xk, double yk,
                          double xl, double yl);
 int PointOnLineSegment(double px, double py, double x1, double y1,
@@ -384,6 +401,18 @@ class RefOracle:
         L.FindRelevantSensitivity.argtypes = [I, I, PD]
         L.FindMaxSensitivities.restype = D
         L.FindMaxSensitivities.argtypes = [I, PD]
+        L.StrictlyBetween.restype = I
+        L.StrictlyBetween.argtypes = [D] * 6
+        L.Between.restype = I
+        L.Between.argtypes = [D] * 6
+        L.PointToLineDist.restype = D
+        L.PointToLineDist.argtypes = [D] * 9
+        L.ThreePointsAreColinear.restype = I
+        L.ThreePointsAreColinear.argtypes = [PD, PD, PD]
+        L.PointInAreal.restype = I
+        L.PointInAreal.argtypes = [D, D, PD, PD, I, ctypes.POINTER(ctypes.c_int)]
+        L.CalculateSliverRating.restype = I
+        L.CalculateSliverRating.argtypes = [PD, PD, PD, I, PD, PD, PD]
 
     # -- globals ------------------------------------------------------------
     @property
@@ -567,6 +596,45 @@ class RefOracle:
         s2 = ctypes.c_double(0.0)
         s1 = self._lib.FindMaxSensitivities(checktype, ctypes.byref(s2))
         return s1, s2.value
+
+    def strictly_between(self, x, y, x1, y1, x2, y2) -> int:
+        return self._lib.StrictlyBetween(x, y, x1, y1, x2, y2)
+
+    def between(self, x, y, x1, y1, x2, y2) -> int:
+        return self._lib.Between(x, y, x1, y1, x2, y2)
+
+    def point_to_line_dist_3d(self, *args) -> float:
+        """PointToLineDist (TT.c:7358): clamped 3D point-to-segment."""
+        return self._lib.PointToLineDist(*[float(a) for a in args])
+
+    def three_points_colinear(self, xs, ys, zs) -> int:
+        ax = (ctypes.c_double * 3)(*[float(v) for v in xs])
+        ay = (ctypes.c_double * 3)(*[float(v) for v in ys])
+        az = (ctypes.c_double * 3)(*[float(v) for v in zs])
+        return self._lib.ThreePointsAreColinear(ax, ay, az)
+
+    def point_in_areal(self, px, py, xs, ys) -> tuple[int, int]:
+        n = len(xs)
+        ax = (ctypes.c_double * n)(*[float(v) for v in xs])
+        ay = (ctypes.c_double * n)(*[float(v) for v in ys])
+        on_edge = ctypes.c_int(0)
+        inside = self._lib.PointInAreal(px, py, ax, ay, n, ctypes.byref(on_edge))
+        return inside, on_edge.value
+
+    def sliver_rating(self, xs, ys, zs) -> tuple[int, float, float, float]:
+        """CalculateSliverRating (TT.c:10438).  The C mutates its arrays
+        (consecutive-duplicate squeeze); the wrapper passes copies."""
+        n = len(xs)
+        ax = (ctypes.c_double * n)(*[float(v) for v in xs])
+        ay = (ctypes.c_double * n)(*[float(v) for v in ys])
+        az = (ctypes.c_double * n)(*[float(v) for v in zs])
+        w = ctypes.c_double(0.0)
+        h = ctypes.c_double(0.0)
+        r = ctypes.c_double(0.0)
+        rc = self._lib.CalculateSliverRating(
+            ax, ay, az, n, ctypes.byref(w), ctypes.byref(h), ctypes.byref(r)
+        )
+        return rc, w.value, h.value, r.value
 
     def line_equation(self, x1, y1, x2, y2) -> tuple[float, float, float]:
         A = ctypes.c_double(0.0)
