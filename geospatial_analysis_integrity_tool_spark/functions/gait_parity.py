@@ -948,3 +948,54 @@ def sliver_rating_gait(x, y, z) -> tuple[int, float, float, float]:
             return 1, 0.0, 0.0, 0.0
         return 1, width, height, width / height
     return 0, 0.0, 0.0, 0.0
+
+
+def segments_offset_overlap_gait(x1, y1, x2, y2, x3, y3, x4, y4) -> int:
+    """SegmentsOffsetOverlap (TT.c:8893): strict open-interval bbox overlap
+    per axis, exact branch order (note the asymmetric second disjunct)."""
+    answer = 0
+    if x1 < x2:
+        if x3 < x4 and x3 < x2 and x4 > x1:
+            answer = 1
+        elif x4 < x2 and x3 > x1:
+            answer = 1
+    else:
+        if x3 < x4 and x3 < x1 and x4 > x2:
+            answer = 1
+        elif x4 < x1 and x3 > x2:
+            answer = 1
+    if answer == 1:
+        answer = 0
+        if y1 < y2:
+            if y3 < y4 and y3 < y2 and y4 > y1:
+                answer = 1
+            elif y4 < y2 and y3 > y1:
+                answer = 1
+        else:
+            if y3 < y4 and y3 < y1 and y4 > y2:
+                answer = 1
+            elif y4 < y1 and y3 > y2:
+                answer = 1
+    return answer
+
+
+def find_acute_angle_gait(x1, y1, x2, y2, x3, y3, x4, y4) -> float:
+    """FindAcuteAngleBetweenSegments (moregeomchecks.c:1591): normalized
+    line-equation dot product with the +-0.9999999 clamps (parallel -> 0,
+    antiparallel -> pi) and the fold past the 1.57079631345 threshold."""
+    a1, b1, _ = line_equation_gait(x1, y1, x2, y2)
+    a2, b2, _ = line_equation_gait(x3, y3, x4, y4)
+    answer = (a1 * a2) + (b1 * b2)
+    if answer >= 0.9999999:
+        answer = 0.0
+    elif answer < -0.9999999:
+        answer = 3.141592653589793
+    else:
+        import math
+
+        # math.acos wraps the platform libm — the same acos the compiled
+        # reference links; np.arccos can differ by an ulp (SIMD path)
+        answer = math.acos(answer)
+    if answer > 1.57079631345:
+        answer = 3.141592653589793 - answer
+    return answer

@@ -784,3 +784,33 @@ def test_colinear_point_in_areal_sliver_bitexact(oracle):
         assert got[0] == want[0], (xs, ys, zs)
         if got[0]:
             assert got[1:] == want[1:], (xs, ys, zs)
+
+
+def test_offset_overlap_and_acute_angle_bitexact(oracle):
+    """SegmentsOffsetOverlap (TT.c:8893) and FindAcuteAngleBetweenSegments
+    (moregeomchecks.c:1591) vs the gait_parity twins — quantized coords for
+    exact boundary ties; the angle test covers the clamp branches (parallel,
+    antiparallel, near-90 fold)."""
+    rng = np.random.default_rng(97)
+    for _ in range(40000):
+        a = np.round(rng.uniform(-4, 4, 8) * 2) / 2
+        assert oracle.segments_offset_overlap(*a) == \
+            gp.segments_offset_overlap_gait(*a), a
+    n = 0
+    for _ in range(20000):
+        which = rng.random()
+        a = [float(v) for v in rng.uniform(-50, 50, 8)]
+        if which < 0.2:  # exactly parallel (same direction)
+            dx, dy = a[2] - a[0], a[3] - a[1]
+            a[6], a[7] = a[4] + dx, a[5] + dy
+        elif which < 0.4:  # antiparallel
+            dx, dy = a[2] - a[0], a[3] - a[1]
+            a[6], a[7] = a[4] - dx, a[5] - dy
+        elif which < 0.5:  # perpendicular (the fold boundary)
+            dx, dy = a[2] - a[0], a[3] - a[1]
+            a[6], a[7] = a[4] - dy, a[5] + dx
+        got = oracle.find_acute_angle(*a)
+        want = gp.find_acute_angle_gait(*a)
+        assert got == want or (np.isnan(got) and np.isnan(want)), a
+        n += 1
+    assert n == 20000

@@ -63,6 +63,8 @@ _FUNCTIONS = [
     ("TT.c", "ThreePointsAreColinear"),
     ("TT.c", "PointInAreal"),
     ("TT.c", "CalculateSliverRating"),
+    ("TT.c", "SegmentsOffsetOverlap"),
+    ("moregeomchecks.c", "FindAcuteAngleBetweenSegments"),
     ("TT.c", "PointToLineDist2D"),
     ("TT.c", "PointToFullLineDist2D"),
     ("TT.c", "PointOnLineSegment"),
@@ -203,6 +205,10 @@ int ThreePointsAreColinear(double *x, double *y, double *z);
 int PointInAreal(double px, double py, double *x, double *y, int numverts, int *OnEdge);
 int CalculateSliverRating(double *x, double *y, double *z, int vtxcnt,
                           double *width, double *height, double *ratio);
+int SegmentsOffsetOverlap(double x1, double y1, double x2, double y2,
+                          double x3, double y3, double x4, double y4);
+double FindAcuteAngleBetweenSegments(double x1, double y1, double x2, double y2,
+                                     double x3, double y3, double x4, double y4);
 double PointToLineDist2D(double xj, double yj, double xk, double yk,
                          double xl, double yl);
 int PointOnLineSegment(double px, double py, double x1, double y1,
@@ -413,6 +419,10 @@ class RefOracle:
         L.PointInAreal.argtypes = [D, D, PD, PD, I, ctypes.POINTER(ctypes.c_int)]
         L.CalculateSliverRating.restype = I
         L.CalculateSliverRating.argtypes = [PD, PD, PD, I, PD, PD, PD]
+        L.SegmentsOffsetOverlap.restype = I
+        L.SegmentsOffsetOverlap.argtypes = [D] * 8
+        L.FindAcuteAngleBetweenSegments.restype = D
+        L.FindAcuteAngleBetweenSegments.argtypes = [D] * 8
 
     # -- globals ------------------------------------------------------------
     @property
@@ -620,6 +630,14 @@ class RefOracle:
         on_edge = ctypes.c_int(0)
         inside = self._lib.PointInAreal(px, py, ax, ay, n, ctypes.byref(on_edge))
         return inside, on_edge.value
+
+    def segments_offset_overlap(self, *args) -> int:
+        """SegmentsOffsetOverlap (TT.c:8893): strict bbox-interval overlap."""
+        return self._lib.SegmentsOffsetOverlap(*[float(a) for a in args])
+
+    def find_acute_angle(self, *args) -> float:
+        """FindAcuteAngleBetweenSegments (moregeomchecks.c:1591)."""
+        return self._lib.FindAcuteAngleBetweenSegments(*[float(a) for a in args])
 
     def sliver_rating(self, xs, ys, zs) -> tuple[int, float, float, float]:
         """CalculateSliverRating (TT.c:10438).  The C mutates its arrays
