@@ -210,16 +210,37 @@ _CORNERS = """
 
 
 def q_narrow_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The one-shot expression (2*area / lmax^2 with lmax inlined twice and the
+    # cos-lat polynomial expanded ~25x after CollapseProject) used to overflow
+    # janino's 64 KB method limit and drop the stage out of whole-stage
+    # codegen.  Staging the three side lengths + shoelace area behind a
+    # Generate barrier (explode of a 1-element struct array) keeps each
+    # projection small enough to compile while computing the *identical*
+    # double sequence, so the oracle hash is unchanged.
     register_geo_views(spark, sf_dir)
     c = spark.sql(_CORNERS)
-    c = c.withColumn(
-        "ratio_ppm",
-        F.expr(
-            f"CAST(floor(2.0 * {_TRI_M2} / ({_LMAX} * {_LMAX}) * 1000000.0)"
-            " AS BIGINT)"
-        ),
+    staged = c.select(
+        "area_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr(_TRI_M2).alias("tri_m2"),
+                    F.expr(_side_m("x1i", "y1i", "x2i", "y2i")).alias("s12"),
+                    F.expr(_side_m("x2i", "y2i", "x3i", "y3i")).alias("s23"),
+                    F.expr(_side_m("x1i", "y1i", "x3i", "y3i")).alias("s13"),
+                )
+            )
+        ).alias("t"),
     )
-    return c.filter(f"ratio_ppm < {NARROW_PPM}").select("area_id", "ratio_ppm")
+    r = staged.select(
+        "area_id",
+        F.expr(
+            "CAST(floor(2.0 * t.tri_m2"
+            " / (greatest(t.s12, t.s23, t.s13) * greatest(t.s12, t.s23, t.s13))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+    return r.filter(f"ratio_ppm < {NARROW_PPM}").select("area_id", "ratio_ppm")
 
 
 ORACLE_NARROW = f"""
