@@ -241,9 +241,10 @@ ORACLES: dict[str, str] = {
 # --- embedding_semantic_dedup (SemDeDup) ------------------------------------------
 #
 # SemDeDup (Abbas et al. 2023): cluster the corpus, then find near-duplicate
-# pairs ONLY within a cluster — the cluster is the candidate bucket, so the
-# pair search is per-cluster all-pairs (clusters are bounded by design; at
-# 10^10 vectors you raise K, not the per-cluster work).  Candidates use the
+# pairs ONLY within a cluster — the cluster is the candidate bucket.  Clusters
+# above SEM_CLUSTER_CAP rows are further split by banded hyperplane LSH
+# (semantic_dedup_pairs), so per-cluster pair work stays bounded no matter how
+# big a cluster grows at 10^10 vectors.  Candidates use the
 # augmented corpus from queries/embeddings (planted near-dups at cos ~0.99
 # against a ~0.51 background, so the 0.9 threshold sits in an empty margin
 # that 1e-2 quantization noise cannot bridge).
@@ -253,6 +254,116 @@ ORACLES: dict[str, str] = {
 # (dot <= 64 * 300^2 ~ 5.8e6, so every product stays far below 2^63).
 SEM_K = 8
 _SEM_Q = 100  # coarser quantization keeps the squared test inside BIGINT
+
+#: Per-cluster all-pairs is quadratic in cluster size, so clusters above this
+#: row count are split by a second-level hyperplane band (the same banded-LSH
+#: structure as operators/ann.near_dup_pairs_lsh) before the pair kernel runs:
+#: a vector lands in LSH_BANDS buckets, a pair is a candidate iff some band
+#: matches, and the exact integer cosine test verifies each candidate.  The
+#: fixtures' largest cluster is 357 rows at sf0.1 (3570 at the sf1 stress
+#: snapshot), so the oracle-gated scales run the exact path bit-for-bit while
+#: sf1 exercises the split path; at 10^10 vectors the cap — not K — bounds the
+#: per-bucket work.
+SEM_CLUSTER_CAP = 1024
+
+
+def _sem_pairs_kernel(pdf):
+    """Exact within-group near-dup pairs: one int64 Gram-matrix matmul per
+    group instead of a dim-exploded pair join (the join shuffles
+    ~|group|^2 * 64 rows; the matmul touches each vector once).  Quantization
+    is identical to the SQL path (floor(double(v) * Q) as int64), so the
+    accepted pair set is bit-identical to the oracle wherever the group is a
+    whole cluster."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = np.floor(
+        np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64) * _SEM_Q
+    ).astype(np.int64)
+    G = M @ M.T
+    n2 = np.diag(G)
+    ok = (G > 0) & (100 * G * G >= 81 * np.outer(n2, n2))
+    iu = np.triu_indices(len(ids), k=1)
+    m = ok[iu]
+    return pd.DataFrame(
+        {
+            "vec_a": ids[iu[0][m]],
+            "vec_b": ids[iu[1][m]],
+            "cluster_id": pdf["k"].iloc[0],
+        }
+    )
+
+
+def semantic_dedup_pairs(grp: DataFrame, cap: int = SEM_CLUSTER_CAP) -> DataFrame:
+    """Within-cluster near-duplicate pairs over (k, vec_id, embedding) rows.
+
+    Clusters with <= ``cap`` members run the exact per-cluster Gram kernel
+    (one Arrow group per cluster).  Oversized clusters are split by banded
+    hyperplane signatures (operators/ann machinery, deterministic planes):
+    each vector lands in LSH_BANDS band-buckets, the same kernel verifies
+    each (cluster, bucket) group, and a final dropDuplicates merges pairs
+    found by more than one band.  Per-cluster pair work is thereby bounded
+    by sum(bucket^2) instead of cluster^2, independent of SEM_K.
+    """
+    from ..operators.ann import (
+        LSH_BAND_BITS,
+        LSH_BANDS,
+        N_HYPERPLANES,
+        _hyperplane_signs,
+        _QUANT,
+    )
+
+    sizes = grp.groupBy("k").agg(F.count(F.lit(1)).alias("_ksize"))
+    grp = grp.join(F.broadcast(sizes), "k")
+    schema = "vec_a long, vec_b long, cluster_id long"
+
+    small = (
+        grp.filter(F.col("_ksize") <= cap)
+        .select("k", "vec_id", "embedding")
+        .groupBy("k")
+        .applyInPandas(_sem_pairs_kernel, schema=schema)
+    )
+
+    big = grp.filter(F.col("_ksize") > cap).select("k", "vec_id", "embedding")
+
+    def band_explode(batches):
+        import numpy as np
+
+        S = np.array(_hyperplane_signs(N_HYPERPLANES, 64), dtype=np.int64)
+        band_shift = np.array(
+            [b << LSH_BAND_BITS for b in range(LSH_BANDS)], dtype=np.int64
+        )
+        bit_weights = np.array(
+            [1 << j for j in range(LSH_BAND_BITS)], dtype=np.int64
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(V * _QUANT).astype(np.int64)
+            bits01 = ((Q @ S.T) >= 0).astype(np.int64)
+            bands = bits01.reshape(len(pdf), LSH_BANDS, LSH_BAND_BITS)
+            keys = band_shift[None, :] + bands @ bit_weights
+            idx = np.repeat(np.arange(len(pdf)), LSH_BANDS)
+            out = pdf.iloc[idx][["k", "vec_id", "embedding"]].copy()
+            out["_bkt"] = keys.reshape(-1)
+            yield out
+
+    big_banded = big.mapInPandas(
+        band_explode,
+        schema="k long, vec_id long, embedding array<float>, _bkt long",
+    )
+    big_pairs = (
+        big_banded.groupBy("k", "_bkt")
+        .applyInPandas(
+            lambda pdf: _sem_pairs_kernel(pdf), schema=schema
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return small.unionByName(big_pairs)
 
 
 def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,40 +389,8 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("dist", "k")).alias("m"))
         .select("vec_id", F.col("m.k").alias("k"))
     )
-    # Per-cluster refine: one int64 Gram-matrix matmul per cluster instead of a
-    # dim-exploded pair join (the join shuffles ~|cluster|^2 * 64 rows; the
-    # matmul touches each vector once).  Quantization is identical to the SQL
-    # path (floor(double(v) * Q) as int64), so the accepted pair set is
-    # bit-identical to the oracle.  Clusters are bounded by design (SemDeDup
-    # raises K with corpus size), so each group fits one Arrow batch.
-    grp = aug.join(assign, "vec_id")
-
-    def _pairs_kernel(pdf):
-        import numpy as np
-        import pandas as pd
-
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        M = np.floor(
-            np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64) * _SEM_Q
-        ).astype(np.int64)
-        G = M @ M.T
-        n2 = np.diag(G)
-        ok = (G > 0) & (100 * G * G >= 81 * np.outer(n2, n2))
-        iu = np.triu_indices(len(ids), k=1)
-        m = ok[iu]
-        return pd.DataFrame(
-            {
-                "vec_a": ids[iu[0][m]],
-                "vec_b": ids[iu[1][m]],
-                "cluster_id": pdf["k"].iloc[0],
-            }
-        )
-
-    return grp.groupBy("k").applyInPandas(
-        _pairs_kernel, schema="vec_a long, vec_b long, cluster_id long"
-    )
+    grp = aug.join(assign, "vec_id").select("k", "vec_id", "embedding")
+    return semantic_dedup_pairs(grp)
 
 
 ORACLE_SEMANTIC_DEDUP = f"""
