@@ -150,10 +150,118 @@ SELECT {_url_sql('i')} AS url, CAST(r AS BIGINT) AS pagerank_ppm FROM r2
 """
 
 
+# --- pages_pagerank_converged ----------------------------------------------------
+#
+# The production variant of pages_pagerank: a checkpointed loop driver that
+# iterates the SAME two stages (edge join on src + partial-aggregate groupBy
+# on dst) until the integer rank vector reaches its exact fixed point
+# (max |r_{k+1} - r_k| == 0), instead of unrolling a fixed count.  This is
+# the iterate-until-done shape of the reference's transitive-counter
+# propagation loop (moregeomchecks.c:2774 PropagateTransitiveCounters: sweep
+# until no counter changes), re-expressed as DataFrame rounds: each round
+# localCheckpoints (truncating lineage so plan size stays O(1) across
+# rounds) and collects ONE scalar (the max delta) to the driver.  Because
+# the recurrence is exact BIGINT, the fixed point is reached in finitely
+# many rounds and is engine-independent; the DuckDB twin unrolls the
+# simulation-determined round count for the sf0.01 fixture (n=500 -> 18).
+
+PAGERANK_MAX_ITERS = 100
+
+
+def pagerank_converged(
+    spark: SparkSession, n: int, tol_ppm: int = 0, max_iters: int = PAGERANK_MAX_ITERS
+) -> tuple[DataFrame, int, bool]:
+    """Run integer PageRank to its fixed point; returns (ranks, iters, converged)."""
+    pages = synth_pages(spark, n)
+    edges = (
+        extract_outlinks(pages)
+        .select("src_url", "dst_url")
+        .localCheckpoint(eager=True)
+    )
+    od = edges.groupBy("src_url").agg(F.count("*").alias("od"))
+    nodes = pages.select("url").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("r", F.lit(_R0).cast("bigint"))
+
+    def iterate(ranks: DataFrame) -> DataFrame:
+        contrib = (
+            edges.join(ranks.withColumnRenamed("url", "src_url"), "src_url")
+            .join(od, "src_url")
+            .select(
+                F.col("dst_url").alias("url"), F.expr("r DIV od").alias("c")
+            )
+        )
+        s = contrib.groupBy("url").agg(F.sum("c").alias("s"))
+        return nodes.join(s, "url", "left").select(
+            "url",
+            F.expr(f"{_BASE} + (17 * coalesce(s, 0L)) DIV 20").alias("r"),
+        )
+
+    for it in range(1, max_iters + 1):
+        nxt = iterate(ranks).localCheckpoint(eager=True)
+        delta = (
+            nxt.join(ranks.withColumnRenamed("r", "r_prev"), "url")
+            .agg(F.max(F.expr("abs(r - r_prev)")).alias("d"))
+            .first()["d"]
+        )
+        ranks = nxt
+        if delta is not None and delta <= tol_ppm:
+            return ranks, it, True
+    return ranks, max_iters, False
+
+
+def q_pages_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _n_pages(sf_dir)
+    ranks, _, _ = pagerank_converged(spark, n)
+    return ranks.select("url", F.col("r").alias("pagerank_ppm"))
+
+
+def _oracle_pagerank_converged(n: int, iters: int) -> str:
+    """Unrolled CTE twin at the fixture's simulation-determined round count.
+
+    Every per-round CTE is MATERIALIZED: DuckDB otherwise inlines CTEs per
+    reference, and the 18-deep chain re-plans exponentially (~2x per round;
+    measured 6.8 s at 18 rounds inlined vs milliseconds materialized).
+    """
+    ctes = [
+        f"""s0 AS MATERIALIZED (
+  SELECT t, SUM({_R0} // od) AS sm
+  FROM edges JOIN od USING (s) GROUP BY 1
+),
+r1 AS MATERIALIZED (
+  SELECT i, {_BASE} + (17 * COALESCE(sm, 0)) // 20 AS r
+  FROM ids LEFT JOIN s0 ON s0.t = ids.i
+)"""
+    ]
+    for k in range(1, iters):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT e.t, SUM(r{k}.r // od.od) AS sm
+  FROM edges e JOIN od USING (s) JOIN r{k} ON r{k}.i = e.s
+  GROUP BY 1
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT i, {_BASE} + (17 * COALESCE(sm, 0)) // 20 AS r
+  FROM ids LEFT JOIN s{k} ON s{k}.t = ids.i
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_edges_sql(n).strip()},
+od AS MATERIALIZED (SELECT s, COUNT(*) AS od FROM edges GROUP BY 1),
+{body}
+SELECT {_url_sql('i')} AS url, CAST(r AS BIGINT) AS pagerank_ppm FROM r{iters}
+"""
+
+
+#: fixed-point round count for the n=500 (sf0.01 gate) fixture, determined by
+#: simulating the exact integer recurrence: max |r_18 - r_17| == 0.
+_PAGERANK_FIXED_POINT_ITERS_500 = 18
+
 QUERIES = {
     "pages_outlink_extract": q_pages_outlink_extract,
     "pages_link_indegree": q_pages_link_indegree,
     "pages_pagerank": q_pages_pagerank,
+    "pages_pagerank_converged": q_pages_pagerank_converged,
 }
 
 # the correctness gate runs at sf0.01 -> n = 500 (matches nonsql._n_pages)
@@ -161,4 +269,7 @@ ORACLES: dict[str, str] = {
     "pages_outlink_extract": _oracle_outlinks(500),
     "pages_link_indegree": _oracle_indegree(500),
     "pages_pagerank": _oracle_pagerank(500),
+    "pages_pagerank_converged": _oracle_pagerank_converged(
+        500, _PAGERANK_FIXED_POINT_ITERS_500
+    ),
 }

@@ -228,12 +228,135 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
 """
 
 
+# --- embedding_kmeans_converged ---------------------------------------------------
+#
+# The production variant of embedding_kmeans: Lloyd's loop iterated until the
+# ASSIGNMENT is stable (no vector changes cluster) instead of unrolling two
+# rounds.  Same exact-integer recurrence (argmin of BIGINT squared distances,
+# ties to the lowest k; centroid update SUM(qv) DIV COUNT, truncating in both
+# engines), so the stable assignment is engine-independent and reached in
+# finitely many rounds.  Each round localCheckpoints the assignment
+# (lineage stays O(1)) and collects ONE scalar — the count of vectors that
+# switched clusters.  Empty clusters drop out of the centroid table
+# naturally (groupBy emits no rows for them), matching the SQL twin.  The
+# DuckDB oracle unrolls the simulation-determined round count for the
+# sf0.01 fixture (assignment a_14 == a_13, all 8 clusters alive throughout).
+
+KMEANS_MAX_ITERS = 100
+
+
+def _mat(cte: str, name: str) -> str:
+    """Rewrite `name AS (` to `name AS MATERIALIZED (` in a CTE string."""
+    return cte.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+
+
+def kmeans_converged(
+    spark: SparkSession, max_iters: int = KMEANS_MAX_ITERS
+) -> tuple[DataFrame, int, bool]:
+    """Lloyd's to a stable assignment; returns (assignment, iters, converged).
+
+    The returned DataFrame carries (vec_id, k, dist) for the stable round.
+    """
+    verts = _verts(spark).localCheckpoint(eager=True)
+    cen0 = verts.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("k"), "d", F.col("qv").alias("cv")
+    )
+
+    def assign(cen: DataFrame) -> DataFrame:
+        return (
+            verts.join(F.broadcast(cen), "d")
+            .groupBy("vec_id", "k")
+            .agg(F.sum(F.expr("(qv - cv) * (qv - cv)")).alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "k")).alias("m"))
+            .select(
+                "vec_id", F.col("m.k").alias("k"), F.col("m.dist").alias("dist")
+            )
+        )
+
+    def update(a: DataFrame) -> DataFrame:
+        return (
+            verts.join(a.select("vec_id", "k"), "vec_id")
+            .groupBy("k", "d")
+            .agg(F.expr("sum(qv) DIV count(*)").alias("cv"))
+        )
+
+    a_prev = assign(cen0).localCheckpoint(eager=True)
+    for it in range(2, max_iters + 1):
+        a = assign(update(a_prev)).localCheckpoint(eager=True)
+        changed = (
+            a.select("vec_id", "k")
+            .join(
+                a_prev.select("vec_id", F.col("k").alias("k_prev")), "vec_id"
+            )
+            .filter("k <> k_prev")
+            .count()
+        )
+        a_prev = a
+        if changed == 0:
+            return a_prev, it, True
+    return a_prev, max_iters, False
+
+
+def q_embedding_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    a, _, _ = kmeans_converged(spark)
+    return (
+        a.groupBy("k")
+        .agg(F.count("*").alias("n_members"), F.sum("dist").alias("inertia"))
+        .select(F.col("k").alias("cluster_id"), "n_members", "inertia")
+    )
+
+
+def _oracle_kmeans_converged(iters: int) -> str:
+    """Unrolled Lloyd's CTE twin at the fixture's stable round count.
+
+    Every per-round CTE is MATERIALIZED: DuckDB otherwise inlines CTEs per
+    reference and re-plans the 14-deep chain exponentially (~2.2x per round;
+    extrapolates to minutes inlined vs milliseconds materialized).
+    """
+    parts = [
+        f"cen0 AS MATERIALIZED (\n  SELECT vec_id AS k, d, qv AS cv FROM verts WHERE vec_id < {K_CLUSTERS}\n)",
+        _mat(_ASSIGN_SQL.format(name="a1", cen="cen0").strip(), "a1"),
+    ]
+    for r in range(1, iters):
+        parts.append(
+            f"""cen{r} AS MATERIALIZED (
+  SELECT a{r}.k, v.d, SUM(v.qv) // COUNT(*) AS cv
+  FROM verts v JOIN a{r} USING (vec_id)
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            _mat(
+                _ASSIGN_SQL.format(name=f"a{r + 1}", cen=f"cen{r}").strip(),
+                f"a{r + 1}",
+            )
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {_VERTS_SQL.strip()},
+{body}
+SELECT k AS cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia
+FROM a{iters} GROUP BY 1
+"""
+
+
+#: stable-assignment round count for the sf0.01 fixture, determined by
+#: simulating the exact integer recurrence: assignment a_14 == a_13.
+_KMEANS_STABLE_ITERS_SF001 = 14
+
 QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_kmeans_converged": q_embedding_kmeans_converged,
     "embedding_pq_topk": q_embedding_pq_topk,
 }
 ORACLES: dict[str, str] = {
     "embedding_kmeans": ORACLE_KMEANS,
+    "embedding_kmeans_converged": _oracle_kmeans_converged(
+        _KMEANS_STABLE_ITERS_SF001
+    ),
     "embedding_pq_topk": ORACLE_PQ,
 }
 

@@ -1,0 +1,59 @@
+"""Iterate-to-convergence drivers (PageRank, k-means Lloyd's).
+
+The verdict's round-5 mandate: the loop must exit because the per-iteration
+delta hit zero, not because an unrolled count ran out — the same
+sweep-until-no-change contract as the reference's transitive-counter
+propagation loop (moregeomchecks.c:2774 PropagateTransitiveCounters).
+"""
+
+from __future__ import annotations
+
+
+def test_pagerank_exits_by_delta_not_count(spark):
+    from geospatial_analysis_integrity_tool_spark.queries.linkgraph import (
+        _PAGERANK_FIXED_POINT_ITERS_500,
+        pagerank_converged,
+    )
+
+    ranks, iters, converged = pagerank_converged(spark, 500)
+    assert converged, "loop must exit via the delta==0 test"
+    assert iters == _PAGERANK_FIXED_POINT_ITERS_500
+    # the fixed point is genuinely fixed: one more sweep changes nothing
+    assert iters < 100  # not the max_iters fallback
+    assert ranks.count() == 500
+
+
+def test_pagerank_fixed_point_is_idempotent(spark):
+    """Applying one extra iteration to the converged ranks changes no row."""
+    from pyspark.sql import functions as F
+
+    from geospatial_analysis_integrity_tool_spark.queries.linkgraph import (
+        pagerank_converged,
+    )
+
+    ranks, iters, _ = pagerank_converged(spark, 200)
+    again, iters2, converged2 = pagerank_converged(spark, 200, max_iters=iters + 5)
+    assert converged2 and iters2 == iters
+    diff = (
+        ranks.join(again.withColumnRenamed("r", "r2"), "url")
+        .filter(F.col("r") != F.col("r2"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_kmeans_exits_by_stable_assignment(spark):
+    from geospatial_analysis_integrity_tool_spark.queries.vectorq import (
+        _KMEANS_STABLE_ITERS_SF001,
+        K_CLUSTERS,
+        kmeans_converged,
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, "/root/testdata/sf0.01")
+    a, iters, converged = kmeans_converged(spark)
+    assert converged, "loop must exit via the zero-switch test"
+    assert iters == _KMEANS_STABLE_ITERS_SF001
+    assert iters < 100
+    # all clusters alive at the fixture's stable assignment
+    assert a.select("k").distinct().count() == K_CLUSTERS
