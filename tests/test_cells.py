@@ -117,3 +117,42 @@ def test_hex_locality():
     a = cells_hex.hex_cell(lat, lng, 10)
     c = cells_hex.hex_cell(lat + 1e-9, lng, 10)
     assert (a == c).mean() > 0.999
+
+
+# --- invariant-gate sensitivity (the DuckDB twin of geo_encode_cells states
+# zero violations; these prove the Spark-side counters actually fire on a
+# corrupted kernel output, so the gate is not vacuously green) ---------------
+def test_cell_invariant_gate_catches_corruption(spark):
+    import pyspark.sql.functions as F
+
+    from geospatial_analysis_integrity_tool_spark.operators.encode import (
+        encode_cells,
+    )
+    from geospatial_analysis_integrity_tool_spark.queries.nonsql import (
+        _cell_pair_stats,
+    )
+
+    lat, lng = rand_latlng(200, seed=7)
+    pdf = __import__("pandas").DataFrame({"lat": lat, "lon": lng})
+    enc = encode_cells(spark.createDataFrame(pdf), hex_res=(7, 9, 12),
+                       s2_levels=(10, 13, 16))
+
+    clean = _cell_pair_stats(enc, "s2", 13, 16).collect()[0]
+    assert clean.prefix_violations == 0 and clean.fanout_violations == 0
+
+    # flip one mid bit of the level-16 id -> derived parent no longer matches
+    broken = enc.withColumn(
+        "s2_l16",
+        F.when(F.rand(1) < 0.1,
+               F.expr("CAST(s2_l16 AS BIGINT) ^ CAST(1 AS BIGINT) << 40")
+               ).otherwise(F.col("s2_l16")),
+    )
+    row = _cell_pair_stats(broken, "s2", 13, 16).collect()[0]
+    assert row.prefix_violations > 0
+
+    # corrupt the hex res nibble -> packing well-formedness fires
+    broken_hex = enc.withColumn(
+        "hex_r12", F.expr("hex_r12 ^ (CAST(1 AS BIGINT) << 59)")
+    )
+    row = _cell_pair_stats(broken_hex, "hex", 9, 12).collect()[0]
+    assert row.prefix_violations > 0
