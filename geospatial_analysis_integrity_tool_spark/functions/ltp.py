@@ -77,27 +77,15 @@ def _sql_atan2_stages(prefix: str, ycol: str, xcol: str) -> list[tuple[str, str]
     ]
 
 
-def ltp_stages(e: str, n: str, u: str, lat0_deg: float, lon0_deg: float,
-               h0: float = 0.0) -> list[tuple[str, str]]:
-    """(name, expr) chain computing ``ltp_lon``/``ltp_lat`` (degrees) from
-    local ENU meters at the given origin."""
-    (x0, y0, z0), r = ltp_origin(lat0_deg, lon0_deg, h0)
+def ecef_stages(xx: str, yy: str, zz: str,
+                out_prefix: str = "ltp") -> list[tuple[str, str]]:
+    """(name, expr) chain: ECEF meters -> ``{out_prefix}_lon/lat`` degrees
+    (Bowring 2-pass, bounded-domain polynomial trig — the dual-engine core
+    shared by LTP and the space-physics frames)."""
     return [
-        (
-            "_t_xx",
-            f"({_dlit(x0)} + {_dlit(r[0][0])} * ({e})"
-            f" + {_dlit(r[0][1])} * ({n}) + {_dlit(r[0][2])} * ({u}))",
-        ),
-        (
-            "_t_yy",
-            f"({_dlit(y0)} + {_dlit(r[1][0])} * ({e})"
-            f" + {_dlit(r[1][1])} * ({n}) + {_dlit(r[1][2])} * ({u}))",
-        ),
-        (
-            "_t_zz",
-            f"({_dlit(z0)} + {_dlit(r[2][1])} * ({n})"
-            f" + {_dlit(r[2][2])} * ({u}))",
-        ),
+        ("_t_xx", xx),
+        ("_t_yy", yy),
+        ("_t_zz", zz),
         ("_t_p", "sqrt(_t_xx * _t_xx + _t_yy * _t_yy)"),
         *_sql_atan2_stages("_t_lo", "_t_yy", "_t_xx"),
         # Bowring pass 1: parametric latitude direct from the operands
@@ -118,9 +106,24 @@ def ltp_stages(e: str, n: str, u: str, lat0_deg: float, lon0_deg: float,
         ("_t_nu2", f"(_t_zz + {_dlit(EP2B)} * _t_st2 * _t_st2 * _t_st2)"),
         ("_t_de2", f"(_t_p - {_dlit(E2A)} * _t_ct2 * _t_ct2 * _t_ct2)"),
         *_sql_atan2_stages("_t_f2", "_t_nu2", "_t_de2"),
-        ("ltp_lat", f"(_t_f2_ang * {_dlit(RAD2DEG)})"),
-        ("ltp_lon", f"(_t_lo_ang * {_dlit(RAD2DEG)})"),
+        (f"{out_prefix}_lat", f"(_t_f2_ang * {_dlit(RAD2DEG)})"),
+        (f"{out_prefix}_lon", f"(_t_lo_ang * {_dlit(RAD2DEG)})"),
     ]
+
+
+def ltp_stages(e: str, n: str, u: str, lat0_deg: float, lon0_deg: float,
+               h0: float = 0.0) -> list[tuple[str, str]]:
+    """(name, expr) chain computing ``ltp_lon``/``ltp_lat`` (degrees) from
+    local ENU meters at the given origin."""
+    (x0, y0, z0), r = ltp_origin(lat0_deg, lon0_deg, h0)
+    return ecef_stages(
+        f"({_dlit(x0)} + {_dlit(r[0][0])} * ({e})"
+        f" + {_dlit(r[0][1])} * ({n}) + {_dlit(r[0][2])} * ({u}))",
+        f"({_dlit(y0)} + {_dlit(r[1][0])} * ({e})"
+        f" + {_dlit(r[1][1])} * ({n}) + {_dlit(r[1][2])} * ({u}))",
+        f"({_dlit(z0)} + {_dlit(r[2][1])} * ({n})"
+        f" + {_dlit(r[2][2])} * ({u}))",
+    )
 
 
 def with_ltp_geodetic(df, e: str, n: str, u: str, lat0_deg: float,
@@ -162,24 +165,25 @@ def _atan2_np(y, x):
     )
 
 
+def _sinp_np(x):
+    x2 = x * x
+    body = np.float64(_SIN_COEF[-1])
+    for c in reversed(_SIN_COEF[:-1]):
+        body = c + x2 * body
+    return x * (1.0 + x2 * body)
+
+
+def _cosp_np(x):
+    x2 = x * x
+    body = np.float64(_COS_COEF[-1])
+    for c in reversed(_COS_COEF[:-1]):
+        body = c + x2 * body
+    return 1.0 + x2 * body
+
+
 def ltp_to_geodetic_np(e, n, u, lat0_deg: float, lon0_deg: float,
                        h0: float = 0.0):
     """numpy twin (same polynomial + operation order)."""
-
-    def sinp(x):
-        x2 = x * x
-        body = np.float64(_SIN_COEF[-1])
-        for c in reversed(_SIN_COEF[:-1]):
-            body = c + x2 * body
-        return x * (1.0 + x2 * body)
-
-    def cosp(x):
-        x2 = x * x
-        body = np.float64(_COS_COEF[-1])
-        for c in reversed(_COS_COEF[:-1]):
-            body = c + x2 * body
-        return 1.0 + x2 * body
-
     (x0, y0, z0), r = ltp_origin(lat0_deg, lon0_deg, h0)
     e = np.asarray(e, dtype=np.float64)
     n = np.asarray(n, dtype=np.float64)
@@ -187,14 +191,19 @@ def ltp_to_geodetic_np(e, n, u, lat0_deg: float, lon0_deg: float,
     xx = x0 + r[0][0] * e + r[0][1] * n + r[0][2] * u
     yy = y0 + r[1][0] * e + r[1][1] * n + r[1][2] * u
     zz = z0 + r[2][1] * n + r[2][2] * u
+    return ecef_to_geodetic_np(xx, yy, zz)
+
+
+def ecef_to_geodetic_np(xx, yy, zz):
+    """numpy twin of ``ecef_stages`` (same polynomials + operation order)."""
     p = np.sqrt(xx * xx + yy * yy)
     lon = _atan2_np(yy, xx)
     h1 = np.sqrt(zz * A * zz * A + p * B * p * B)
     st = zz * A / h1
     ct = p * B / h1
     phi1 = _atan2_np(zz + EP2B * st * st * st, p - E2A * ct * ct * ct)
-    sf = sinp(phi1)
-    cf = cosp(phi1)
+    sf = _sinp_np(phi1)
+    cf = _cosp_np(phi1)
     h2 = np.sqrt(B * sf * B * sf + A * cf * A * cf)
     st2 = B * sf / h2
     ct2 = A * cf / h2
