@@ -49,8 +49,16 @@ def sql_intersection_xy() -> tuple[str, str]:
     rpy = "(_by - _ay)"
     spx = "(_dx - _cx)"
     spy = "(_dy - _cy)"
+    # CASE-guard the parallel-segments denominator: callers filter on
+    # sql_proper_cross() first (denom != 0 on every surviving row, so the
+    # branch never changes a value), but under ANSI mode the optimizer may
+    # evaluate this projection before the filter when the plan is composed
+    # into a larger DAG (observed in the whole-suite union) — an unguarded
+    # division then throws DIVIDE_BY_ZERO on rows that were about to be
+    # dropped.  Identical expression on the DuckDB side, so hashes agree.
     denom = f"({rpx} * {spy} - {rpy} * {spx})"
-    t = f"(((_cx - _ax) * {spy} - (_cy - _ay) * {spx}) / {denom})"
+    safe_denom = f"(CASE WHEN {denom} = 0.0 THEN 1.0 ELSE {denom} END)"
+    t = f"(((_cx - _ax) * {spy} - (_cy - _ay) * {spx}) / {safe_denom})"
     return f"(_ax + {t} * {rpx})", f"(_ay + {t} * {rpy})"
 
 
