@@ -34,8 +34,14 @@ def _spark(cpus: int):
     s = get_spark(
         f"gait-suite-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+        # the suite's widest shuffles carry ~10^8 witness rows at sf1: size
+        # partitions for the DATA, not the core count (AQE coalesces the
+        # small families' stages back down) — exactly the 100 TB sizing rule
+        shuffle_partitions=256,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.driver.memory": "48g",
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     return s
