@@ -122,6 +122,12 @@ HEADLINE = [
     "geo_prox_pairs_euclidean",
     "geo_feat_length_euclidean",
     "streaming_utm_pip",
+    # round-5 additions: space frames, converged loops, gated cell encode
+    "gse_ingest_geodetic",
+    "gsm_ingest_geodetic",
+    "pages_pagerank_converged",
+    "embedding_kmeans_converged",
+    "geo_encode_cells",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

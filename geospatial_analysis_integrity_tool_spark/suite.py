@@ -31,7 +31,7 @@ contract), publishing suite-level features/s in SCALE.md.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ByteType,
@@ -149,7 +149,34 @@ def suite_conditions(
         conds = conds.unionByName(p)
     # family outputs are distinct by construction (each errtype is one
     # family, witnesses unique within it) -> skip the dedup shuffle
-    return consolidate_scalable(
+    numbered = consolidate_scalable(
         conds, cell_col="cell", order_keys=["magnitude_mm", "sedrisid"],
         dedup=False,
+    )
+    # consolidate_scalable numbers densely WITHIN (errtype, instance); the
+    # consolidated report needs one global 1..N sequence.  Per-family totals
+    # are a tiny table (one row per family), so the running offset is a
+    # driver-free broadcast join, never a wide shuffle.  Resulting total
+    # order: (errtype, instance, cell, magnitude, sedrisid) — report-major
+    # by family, region-major within it.
+    totals = numbered.groupBy("errtype", "instance").agg(
+        F.count("*").alias("_n")
+    )
+    w_glob = Window.orderBy(
+        F.col("errtype").asc(), F.col("instance").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_goff", F.coalesce(F.sum("_n").over(w_glob), F.lit(0))
+    ).drop("_n")
+    out = (
+        numbered.join(F.broadcast(offsets), ["errtype", "instance"])
+        .withColumn(
+            "cond_num", (F.col("cond_num") + F.col("_goff")).cast("bigint")
+        )
+        .drop("_goff")
+    )
+    # pin the sink's canonical column order regardless of join-key placement
+    return out.select(
+        "errtype", "instance", "cond_num", "magnitude_mm",
+        "code1", "sedrisid", "geom_kind", "cell",
     )

@@ -351,6 +351,46 @@ AUDIT = {
         "forbid": ["Exchange"],
         "note": "decode facts reduce per media row inside the kernel",
     },
+    "gse_ingest_geodetic": {
+        "want": ["Project"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+        "note": "GSE space frame: fixed-epoch rotation + Bowring inverse — "
+        "pure scalar chain, rides the scan",
+    },
+    "gm_ingest_geodetic": {
+        "want": ["Project"],
+        "forbid": [
+            "Exchange", "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+        "note": "geomagnetic dipole frame — pure scalar chain",
+    },
+    "pages_pagerank_converged": {
+        "want": ["Scan ExistingRDD"],
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        "note": "delta-exit loop driver: the RETURNED plan is the final "
+        "localCheckpoint scan (lineage truncated by design — an uncut "
+        "10-iteration lineage would be the scale bug); the per-iteration "
+        "join+agg shape is audited via the unrolled pages_pagerank entry",
+    },
+    "embedding_kmeans_converged": {
+        "want": ["HashAggregate"],
+        "forbid": ["BatchEvalPython"],
+        "note": "Lloyd iteration under a delta-exit loop; broadcast centroids",
+    },
+    "geo_encode_cells": {
+        "want": ["PythonMapInArrow|MapInArrow|MapInPandas|ArrowEvalPython"],
+        "forbid": ["BatchEvalPython"],
+        "note": "batched cell-encode kernel (S2 curve + hex aperture-7) — "
+        "one Arrow pass, no shuffle beyond the explode",
+    },
+    "suite_family_counts": {
+        "want": ["Union", "HashAggregate"],
+        "forbid": ["BatchEvalPython"],
+        "note": "CheckRegion composition: 36 family DAGs -> one Union; "
+        "each family keeps its own gated plan shape",
+    },
 }
 
 

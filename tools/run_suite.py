@@ -101,8 +101,13 @@ def main() -> int:
     gen()
     results = {}
     for cpus in (8, 32):
+        # pin the WHOLE process tree (JVM + python workers) to the core
+        # budget — same methodology as scaling_evidence.py: an unpinned
+        # local[8] leaks its Arrow workers onto all 32 cores and overstates
+        # the 8-core point
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "run", str(cpus)],
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, os.path.abspath(__file__), "run", str(cpus)],
             capture_output=True, text=True,
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
