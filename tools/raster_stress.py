@@ -130,7 +130,7 @@ def run_shapes(spark, g: int) -> dict:
     )
     edges = half.unionByName(half.selectExpr("b AS a", "a AS b"))
     cc = min_label_components(water, edges)
-    comp_sizes = cc.groupBy("label").agg(F.count("*").alias("sz"))
+    comp_sizes = cc.groupBy("component_id").agg(F.count("*").alias("sz"))
     timed("hydro_cc", comp_sizes)
 
     npts = (g * g) // 8
@@ -149,26 +149,25 @@ def run_shapes(spark, g: int) -> dict:
 
 
 def main() -> int:
+    sizes = [int(a) for a in sys.argv[1:]] or [400, 1280]
     spark = _spark()
-    small = run_shapes(spark, 400)
-    big = run_shapes(spark, 1280)
+    runs = [run_shapes(spark, g) for g in sizes]
     spark.stop()
+    small, big = runs[0], runs[-1]
     ratio_posts = big["posts"] / small["posts"]
     shapes = {}
     for name in small["shapes"]:
         r = big["shapes"][name]["sec"] / max(small["shapes"][name]["sec"], 0.01)
         shapes[name] = {
-            "sec_400": small["shapes"][name]["sec"],
-            "sec_1280": big["shapes"][name]["sec"],
+            **{f"sec_{run['g']}": run["shapes"][name]["sec"] for run in runs},
             "time_ratio": round(r, 2),
             "scale_sound": bool(r <= 1.5 * ratio_posts),
         }
     report = {
-        "metric": "raster_stress_10x",
+        "metric": f"raster_stress_{round(ratio_posts)}x",
         "posts_ratio": round(ratio_posts, 2),
         "shapes": shapes,
-        "total_400": small["total_sec"],
-        "total_1280": big["total_sec"],
+        "totals": {str(run["g"]): run["total_sec"] for run in runs},
     }
     print(json.dumps(report))
     return 0
