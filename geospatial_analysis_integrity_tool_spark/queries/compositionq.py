@@ -324,7 +324,22 @@ _IS_VERT = (
 
 def q_smallobj_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
-    p = spark.sql(POLYS_SQL)
+    # POLYS_SQL's corner columns are multi-branch CASE expressions; when
+    # CollapseProject inlines them into _AREA3D_M2 (which already repeats the
+    # cos-lat polynomial ~12x) the generated method overflows janino's 64 KB
+    # limit and the stage drops to interpreted mode.  A Generate barrier
+    # materializes the nine corner scalars once so the area expression only
+    # references plain attributes — identical double sequence, oracle hash
+    # unchanged.
+    corners = ("x1", "y1", "z1", "x2", "y2", "z2", "x3", "y3", "z3")
+    p = (
+        spark.sql(POLYS_SQL)
+        .select(
+            "poly_id",
+            F.explode(F.array(F.struct(*corners))).alias("t"),
+        )
+        .select("poly_id", "t.*")
+    )
     vert = p.filter(F.expr(_IS_VERT)).selectExpr(
         "poly_id", "'VERTSLOPE' AS errtype", "CAST(0 AS BIGINT) AS mag"
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.geodesy import sql_point_seg_dist_m
+from ..functions.geodesy import sql_point_seg_dist_m, with_point_seg_dist_m
 from ..operators.intersections import segments_of_vertices
 from ..sources.synthetic import oracle_cte, register_geo_views
 
@@ -44,12 +44,20 @@ def q_endpoint_self_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y AS py",
         )
     )
-    d = sql_point_seg_dist_m("px", "py", "sax", "say", "sbx", "sby")
+    # The flat ~50 KB distance fragment overflows janino's 64 KB method limit
+    # when inlined into the tolerance filter above this join (whole-stage
+    # falls back to interpreted eval).  The staged-column twin computes the
+    # identical IEEE-754 sequence through small per-alias projections;
+    # block_pushdown keeps the filter from being re-inlined into the join
+    # condition.  Oracle hash unchanged.
+    staged = with_point_seg_dist_m(
+        ends.join(segs, "line_id").filter(F.col("seg_idx") != F.col("adj_seg")),
+        "px", "py", "sax", "say", "sbx", "sby",
+        out="_d",
+        block_pushdown=True,
+    )
     return (
-        ends.join(segs, "line_id")
-        .filter(F.col("seg_idx") != F.col("adj_seg"))
-        .withColumn("_d", F.expr(d))
-        .filter(F.col("_d") < SELF_TOUCH_TOL_M)
+        staged.filter(F.col("_d") < SELF_TOUCH_TOL_M)
         .selectExpr(
             "line_id",
             "end_which",

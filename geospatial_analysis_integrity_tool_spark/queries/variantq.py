@@ -156,9 +156,29 @@ _AWAY_PRED = " AND ".join(
 
 def q_llintaway(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_geo_views(spark, sf_dir)
+    # _AWAY_PRED inlines the parametric intersection point (_IX, _IY) into
+    # each of the four endpoint distances; after CollapseProject the expanded
+    # expression overflows janino's 64 KB method limit and drops the stage to
+    # interpreted mode.  Stage (ix, iy) behind a Generate barrier and express
+    # the distances over the staged scalars — identical double sequence, so
+    # the oracle hash is unchanged.
+    staged = _xings(spark).select(
+        "id_a", "id_b", "seg_a", "seg_b",
+        "_ax", "_ay", "_bx", "_by", "_cx", "_cy", "_dx", "_dy",
+        F.explode(
+            F.array(
+                F.struct(F.expr(_IX).alias("ix"), F.expr(_IY).alias("iy"))
+            )
+        ).alias("t"),
+    )
+    pred = " AND ".join(
+        f"{sql_dist_m('t.ix', 't.iy', ex, ey)} >= {LLINTAWAY_TOL_M}"
+        for ex, ey in (
+            ("_ax", "_ay"), ("_bx", "_by"), ("_cx", "_cy"), ("_dx", "_dy")
+        )
+    )
     return (
-        _xings(spark)
-        .filter(F.expr(_AWAY_PRED))
+        staged.filter(F.expr(pred))
         .select("id_a", "id_b", "seg_a", "seg_b")
         .dropDuplicates(["id_a", "id_b", "seg_a", "seg_b"])
     )
