@@ -31,6 +31,8 @@ SF1_DIR = os.path.join(REPO, "spark-warehouse", "fixtures", "sf1_synth")
 def _spark(cpus: int):
     from geospatial_analysis_integrity_tool_spark.session import get_spark
 
+    scratch = os.path.join(REPO, "spark-warehouse", "scratch")
+    os.makedirs(scratch, exist_ok=True)
     s = get_spark(
         f"gait-suite-{cpus}",
         master=f"local[{cpus}]",
@@ -41,6 +43,10 @@ def _spark(cpus: int):
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
             "spark.driver.memory": "48g",
+            # shuffle/cache blocks live under the repo, not /tmp: a ~30 min
+            # leg must survive ambient tmp cleaners (one 32-core leg died to
+            # blockmgr files vanishing mid-job)
+            "spark.local.dir": scratch,
         },
     )
     s.sparkContext.setLogLevel("ERROR")
@@ -97,10 +103,13 @@ def run(cpus: int) -> dict:
     return out
 
 
-def main() -> int:
+def main(reuse: dict[int, dict] | None = None) -> int:
     gen()
-    results = {}
+    results = dict(reuse or {})
     for cpus in (8, 32):
+        if cpus in results:
+            print(json.dumps(results[cpus]), "(reused)")
+            continue
         # pin the WHOLE process tree (JVM + python workers) to the core
         # budget — same methodology as scaling_evidence.py: an unpinned
         # local[8] leaks its Arrow workers onto all 32 cores and overstates
@@ -142,5 +151,15 @@ if __name__ == "__main__":
         gen()
     elif len(sys.argv) > 1 and sys.argv[1] == "run":
         print(json.dumps(run(int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "finish":
+        # reuse a completed leg (JSON line file) and run only the missing one
+        cached = {}
+        for path in sys.argv[2:]:
+            with open(path) as f:
+                for ln in f:
+                    if ln.startswith("{") and '"cpus"' in ln:
+                        r = json.loads(ln)
+                        cached[int(r["cpus"])] = r
+        raise SystemExit(main(cached))
     else:
         raise SystemExit(main())
