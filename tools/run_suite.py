@@ -103,6 +103,29 @@ def run(cpus: int) -> dict:
     return out
 
 
+def load_cached_legs(paths: list[str]) -> dict[int, dict]:
+    """Parse completed-leg JSON lines (from a prior run's log) keyed by cpus.
+
+    Lines that are not leg records (progress noise, the final report, which
+    has no "cpus" key) are skipped; the last record per cpu count wins.
+    """
+    cached: dict[int, dict] = {}
+    for path in paths:
+        with open(path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln.endswith(" (reused)"):
+                    ln = ln[: -len(" (reused)")]
+                if ln.startswith("{") and '"cpus"' in ln:
+                    try:
+                        r = json.loads(ln)
+                    except json.JSONDecodeError:
+                        continue
+                    if "cpus" in r and "content_hash" in r:
+                        cached[int(r["cpus"])] = r
+    return cached
+
+
 def main(reuse: dict[int, dict] | None = None) -> int:
     gen()
     results = dict(reuse or {})
@@ -153,13 +176,6 @@ if __name__ == "__main__":
         print(json.dumps(run(int(sys.argv[2]))))
     elif len(sys.argv) > 1 and sys.argv[1] == "finish":
         # reuse a completed leg (JSON line file) and run only the missing one
-        cached = {}
-        for path in sys.argv[2:]:
-            with open(path) as f:
-                for ln in f:
-                    if ln.startswith("{") and '"cpus"' in ln:
-                        r = json.loads(ln)
-                        cached[int(r["cpus"])] = r
-        raise SystemExit(main(cached))
+        raise SystemExit(main(load_cached_legs(sys.argv[2:])))
     else:
         raise SystemExit(main())
