@@ -128,6 +128,7 @@ HEADLINE = [
     "pages_pagerank_converged",
     "embedding_kmeans_converged",
     "geo_encode_cells",
+    "lsr_prox_planar",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec
