@@ -129,6 +129,8 @@ HEADLINE = [
     "embedding_kmeans_converged",
     "geo_encode_cells",
     "lsr_prox_planar",
+    # round-5 session-2: importance-resampling data selection
+    "docs_dsir_select",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
 
 from ..sources.pages import extract_outlinks, synth_pages
 from .nonsql import _LANGS_SQL, _n_pages
@@ -191,19 +192,30 @@ def pagerank_converged(
             )
         )
         s = contrib.groupBy("url").agg(F.sum("c").alias("s"))
-        return nodes.join(s, "url", "left").select(
-            "url",
-            F.expr(f"{_BASE} + (17 * coalesce(s, 0L)) DIV 20").alias("r"),
+        # Carry r_prev through the materialized round so the convergence
+        # test is a plain scan-aggregate over the checkpointed partitions
+        # (one cheap job) instead of a second shuffle join per round.
+        return (
+            nodes.join(s, "url", "left")
+            .join(ranks.select("url", F.col("r").alias("r_prev")), "url")
+            .select(
+                "url",
+                F.expr(f"{_BASE} + (17 * coalesce(s, 0L)) DIV 20").alias("r"),
+                "r_prev",
+            )
         )
 
     for it in range(1, max_iters + 1):
-        nxt = iterate(ranks).localCheckpoint(eager=True)
-        delta = (
-            nxt.join(ranks.withColumnRenamed("r", "r_prev"), "url")
-            .agg(F.max(F.expr("abs(r - r_prev)")).alias("d"))
-            .first()["d"]
+        # the convergence delta rides the checkpoint job as an observed
+        # metric — no separate aggregate job per round
+        obs = Observation(f"pagerank_r{it}")
+        nxt = (
+            iterate(ranks)
+            .observe(obs, F.max(F.expr("abs(r - r_prev)")).alias("d"))
+            .localCheckpoint(eager=True)
         )
-        ranks = nxt
+        delta = obs.get["d"]
+        ranks = nxt.select("url", "r")
         if delta is not None and delta <= tol_ppm:
             return ranks, it, True
     return ranks, max_iters, False

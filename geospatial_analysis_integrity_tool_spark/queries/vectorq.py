@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
 from pyspark.sql.window import Window
 
 from ..sources.synthetic import register_testdata_views
@@ -256,46 +257,90 @@ def kmeans_converged(
     """Lloyd's to a stable assignment; returns (assignment, iters, converged).
 
     The returned DataFrame carries (vec_id, k, dist) for the stable round.
-    """
-    verts = _verts(spark).localCheckpoint(eager=True)
-    cen0 = verts.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").alias("k"), "d", F.col("qv").alias("cv")
-    )
 
-    def assign(cen: DataFrame) -> DataFrame:
+    Production loop shape (the one MLlib's own k-means uses): centroids are
+    K*dims integers, collected to the driver each round and re-embedded as
+    literals, so the ASSIGN step is a zero-shuffle projection over the wide
+    (vec_id, q: array<bigint>) corpus — ``array_position(dists,
+    array_min(dists))`` takes the first (= lowest-k) minimum, matching the
+    oracle's tie rule exactly.  Per round: one K*dims-row centroid collect
+    (map-side-combined partial aggregate — the corpus shuffles at most
+    K*dims rows per partition), one zero-shuffle assign + localCheckpoint,
+    and one scan-count of switched vectors (k_prev is carried in the
+    checkpointed row, no join).  The exact BIGINT recurrence (sum of squared
+    diffs; centroid = SUM DIV COUNT) is unchanged from the unrolled twin.
+    """
+    wide = (
+        spark.table("embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding,"
+                " v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dims = len(wide.select("q").first()["q"])
+
+    def assign_cols(cen: list[tuple[int, list[int]]]):
+        """(k, dist) columns for the argmin against literal centroids."""
+        dist_exprs = [
+            "aggregate(zip_with(q, array("
+            + ", ".join(f"{c}L" for c in cv)
+            + "), (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+            for _, cv in cen
+        ]
+        dists = f"array({', '.join(dist_exprs)})"
+        ks = f"array({', '.join(f'{k}L' for k, _ in cen)})"
+        pos = f"CAST(array_position({dists}, array_min({dists})) AS INT)"
         return (
-            verts.join(F.broadcast(cen), "d")
-            .groupBy("vec_id", "k")
-            .agg(F.sum(F.expr("(qv - cv) * (qv - cv)")).alias("dist"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "k")).alias("m"))
-            .select(
-                "vec_id", F.col("m.k").alias("k"), F.col("m.dist").alias("dist")
-            )
+            F.expr(f"element_at({ks}, {pos})").alias("k"),
+            F.expr(f"array_min({dists})").alias("dist"),
         )
 
-    def update(a: DataFrame) -> DataFrame:
-        return (
-            verts.join(a.select("vec_id", "k"), "vec_id")
+    def collect_centroids(a: DataFrame) -> list[tuple[int, list[int]]]:
+        rows = (
+            a.select("k", F.posexplode("q").alias("d", "qv"))
             .groupBy("k", "d")
             .agg(F.expr("sum(qv) DIV count(*)").alias("cv"))
+            .collect()
         )
+        by_k: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_k.setdefault(r["k"], {})[r["d"]] = r["cv"]
+        return sorted((k, [m[d] for d in range(dims)]) for k, m in by_k.items())
 
-    a_prev = assign(cen0).localCheckpoint(eager=True)
+    cen0 = sorted(
+        (r["vec_id"], list(r["q"]))
+        for r in wide.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    )
+    k_col, dist_col = assign_cols(cen0)
+    a_prev = wide.select("vec_id", "q", k_col, dist_col).localCheckpoint(
+        eager=True
+    )
     for it in range(2, max_iters + 1):
-        a = assign(update(a_prev)).localCheckpoint(eager=True)
-        changed = (
-            a.select("vec_id", "k")
-            .join(
-                a_prev.select("vec_id", F.col("k").alias("k_prev")), "vec_id"
+        k_col, dist_col = assign_cols(collect_centroids(a_prev))
+        # the switch count rides the checkpoint job as an observed metric —
+        # no separate count job per round
+        obs = Observation(f"kmeans_r{it}")
+        a = (
+            a_prev.select(
+                "vec_id", "q", k_col, dist_col, F.col("k").alias("k_prev")
             )
-            .filter("k <> k_prev")
-            .count()
+            .observe(
+                obs,
+                F.sum(
+                    F.expr("CASE WHEN k <> k_prev THEN 1 ELSE 0 END")
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
         )
-        a_prev = a
-        if changed == 0:
-            return a_prev, it, True
-    return a_prev, max_iters, False
+        changed = obs.get["changed"]
+        a_prev = a.select("vec_id", "q", "k", "dist")
+        if not changed:
+            return a_prev.select("vec_id", "k", "dist"), it, True
+    return a_prev.select("vec_id", "k", "dist"), max_iters, False
 
 
 def q_embedding_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
