@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
 
 
 def endpoint_nodes(
@@ -88,6 +89,9 @@ def min_label_components(
             )
             .select("line_id", "llabel")
         )
+        # the changed count rides the checkpoint job as an observed metric
+        # (label_prev carried in the plan) — no separate join job per round
+        obs = Observation()
         new_labels = (
             labels.join(neigh, "line_id", "left")
             .join(chased, "line_id", "left")
@@ -97,19 +101,20 @@ def min_label_components(
                     F.col("label"),
                     F.coalesce(F.col("nlabel"), F.col("label")),
                     F.coalesce(F.col("llabel"), F.col("label")),
-                ).alias("label"),
+                ).alias("nl"),
+                F.col("label").alias("pl"),
+            )
+            .observe(
+                obs,
+                F.sum(F.expr("CASE WHEN nl <> pl THEN 1 ELSE 0 END")).alias(
+                    "c"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "line_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = obs.get["c"]
+        labels = new_labels.select("line_id", F.col("nl").alias("label"))
+        if not changed:
             return labels.select(
                 F.col("line_id").alias("id"),
                 F.col("label").alias("component_id"),
@@ -135,8 +140,8 @@ def connected_components(
     one-hop propagation (the previous implementation) needed thousands.
 
     Each round materializes via ``localCheckpoint`` (truncates lineage — the
-    plan would otherwise grow superlinearly) and the convergence test is one
-    cheap ``isEmpty``-style action on the changed set.  If ``max_iter``
+    plan would otherwise grow superlinearly) and the convergence test is an
+    observed metric riding that same job (no separate action per round).  If ``max_iter``
     rounds do not converge the function RAISES instead of silently returning
     partial labels (the default 48 covers diameter ~2^48).
 
