@@ -129,8 +129,9 @@ HEADLINE = [
     "embedding_kmeans_converged",
     "geo_encode_cells",
     "lsr_prox_planar",
-    # round-5 session-2: importance-resampling data selection
+    # round-5 session-2: importance-resampling data selection + bigram-LM scoring
     "docs_dsir_select",
+    "docs_lm_perplexity",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

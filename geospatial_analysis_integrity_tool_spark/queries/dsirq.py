@@ -191,5 +191,101 @@ SELECT doc_id, logw_fp, gumbel_fp, rank FROM (
 """
 
 
-QUERIES = {"docs_dsir_select": q_docs_dsir_select}
-ORACLES: dict[str, str] = {"docs_dsir_select": ORACLE_DSIR}
+# --- docs_lm_perplexity -----------------------------------------------------------
+#
+# The actual CCNet scoring model shape: a conditional bigram language model
+# with add-1 smoothing, trained on the corpus itself, scoring every document
+# by total and per-bigram negative log-likelihood in fixed-point bits:
+#
+#     nll(doc) = sum_bigrams LOG2FP(c1(w1) + V) - LOG2FP(c2(w1, w2) + 1)
+#
+# (c2 = bigram count, c1 = bigram-start count = the correct denominator
+# sum_w c2(w1, w), V = vocabulary size for the add-1 mass).  Complements
+# docs_surprisal_buckets, which buckets by unigram rarity — this is the
+# conditional-LM variant.  Documents with fewer than two tokens carry no
+# bigram and are excluded, matching the twin.
+#
+# Scale notes: both count tables are vocabulary-bounded (c2 <= V^2 observed
+# pairs) and broadcast; the corpus contributes one row per bigram occurrence
+# through map-side-combined aggregates and never shuffles by value.  The
+# per-doc bigram stream shuffles once on doc_id for the LEAD window — at
+# 10^12 docs this becomes the zero-shuffle Arrow pass of
+# text_repetition_filters (a document is one row).
+
+
+def q_docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "doc_id", F.posexplode(F.expr(_TOKS)).alias("d", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("d")
+    bi = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    return (
+        bi.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.expr(
+                    f"{_log2fp_spark('(c1 + v)')} - {_log2fp_spark('(c2 + 1)')}"
+                )
+            ).alias("nll_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_fp",
+            F.expr("nll_fp DIV n_bigrams").alias("ppl_fp"),
+        )
+    )
+
+
+ORACLE_LM_PPL = rf"""
+WITH toks AS (
+  SELECT doc_id, d, tok FROM (
+    SELECT doc_id,
+           generate_subscripts(list_filter(regexp_split_to_array(text, '\s+'),
+                                           t -> t <> ''), 1) AS d,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+  )
+),
+bi AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY d) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM({_log2fp_duck('(c1 + v)')}
+                  - {_log2fp_duck('(c2 + 1)')}) AS BIGINT) AS nll_fp
+  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams, nll_fp, nll_fp // n_bigrams AS ppl_fp FROM scored
+"""
+
+
+QUERIES = {
+    "docs_dsir_select": q_docs_dsir_select,
+    "docs_lm_perplexity": q_docs_lm_perplexity,
+}
+ORACLES: dict[str, str] = {
+    "docs_dsir_select": ORACLE_DSIR,
+    "docs_lm_perplexity": ORACLE_LM_PPL,
+}

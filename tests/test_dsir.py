@@ -19,6 +19,30 @@ def test_log2fp_is_monotone_and_close():
         prev = v
         assert abs(v / 65536 - math.log2(n)) < 0.09
 
+def test_lm_perplexity_invariants(spark):
+    """Bigram-LM scores: one row per doc with >= 2 tokens, positive NLL,
+    ppl = truncating mean of per-bigram bits."""
+    from pyspark.sql import functions as F
+
+    from geospatial_analysis_integrity_tool_spark.queries.dsirq import (
+        q_docs_lm_perplexity,
+    )
+
+    out = q_docs_lm_perplexity(spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_multi = docs.filter(
+        F.expr("size(filter(split(text, '\\\\s+'), t -> t <> '')) >= 2")
+    ).count()
+    assert len(rows) == n_multi
+    for r in rows:
+        # add-1 smoothing guarantees c2+1 <= c1+V, so every bigram's
+        # fixed-point bit cost is positive
+        assert r["nll_fp"] > 0
+        assert r["n_bigrams"] >= 1
+        assert r["ppl_fp"] == r["nll_fp"] // r["n_bigrams"]
+
+
 def test_dsir_selects_from_raw_pool_only(spark):
     from geospatial_analysis_integrity_tool_spark.queries.dsirq import (
         SELECT_K,
