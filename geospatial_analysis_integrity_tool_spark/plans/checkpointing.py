@@ -67,17 +67,7 @@ def run_stage_checkpointed(
         remaining = df.filter(~F.col(partition_col).isin(done_vals))
 
     t0 = time.time()
-    cols = ", ".join(df.columns)
-    stats = (
-        remaining.groupBy(partition_col)
-        .agg(
-            F.count("*").alias("rows"),
-            # order-insensitive, overflow-free content hash (ANSI-safe)
-            F.expr(f"bit_xor(xxhash64({cols}))").alias("content_hash"),
-        )
-        .collect()
-    )
-    if stats:
+    if not remaining.isEmpty():
         # Exactly-once per partition key: dynamic partition OVERWRITE, so a
         # crash between the parquet write and write_manifest (or a partially
         # committed job) leaves partitions that the next run REPLACES rather
@@ -90,6 +80,29 @@ def run_stage_checkpointed(
             .parquet(out_dir)
         )
         wall = time.time() - t0
+        # Lineage comes from reading BACK the committed files (cheap columnar
+        # scan), not from a second evaluation of the stage plan — at 100 TB a
+        # pre-write stats pass would double the stage's compute.  Partition
+        # values round-trip through directory names, so cast the read-back
+        # columns to the stage schema before hashing (parquet partition
+        # inference narrows types and moves the column last).
+        back = spark.read.parquet(out_dir).select(
+            *[F.col(c).cast(df.schema[c].dataType) for c in df.columns]
+        )
+        if done:
+            back = back.filter(
+                ~F.col(partition_col).isin([int(v) for v in done])
+            )
+        cols = ", ".join(df.columns)
+        stats = (
+            back.groupBy(partition_col)
+            .agg(
+                F.count("*").alias("rows"),
+                # order-insensitive, overflow-free content hash (ANSI-safe)
+                F.expr(f"bit_xor(xxhash64({cols}))").alias("content_hash"),
+            )
+            .collect()
+        )
         for r in stats:
             manifest["partitions"][str(r[partition_col])] = {
                 "rows": int(r["rows"]),
