@@ -132,6 +132,7 @@ HEADLINE = [
     # round-5 session-2: importance-resampling data selection + bigram-LM scoring
     "docs_dsir_select",
     "docs_lm_perplexity",
+    "docs_winnow_fingerprints",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -391,6 +391,18 @@ AUDIT = {
         "note": "CheckRegion composition: 36 family DAGs -> one Union; "
         "each family keeps its own gated plan shape",
     },
+    "docs_dsir_select": {
+        "want": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        "note": "DSIR: B-row bucket-score table broadcast to the corpus; "
+        "top-k is TakeOrdered, never a global sort",
+    },
+    "docs_lm_perplexity": {
+        "want": ["BroadcastHashJoin", "Window"],
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        "note": "bigram LM: vocabulary-bounded count tables broadcast; one "
+        "doc_id shuffle for the LEAD window",
+    },
 }
 
 
