@@ -133,6 +133,7 @@ HEADLINE = [
     "docs_dsir_select",
     "docs_lm_perplexity",
     "docs_winnow_fingerprints",
+    "streaming_lsh_dedup",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

@@ -137,3 +137,52 @@ def consolidate_latest(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def lsh_first_seen(buckets: DataFrame) -> DataFrame:
+    """Streaming (band, sig) bucket rows -> per-row near-dup verdicts.
+
+    The incremental form of the batch LSH band join (queries/textops.
+    dedup_minhash_lsh): state per (band, sig) bucket is a single seen flag;
+    the first row to arrive in a bucket (by global (batch_idx, doc_id)
+    order) is original, every later one is a duplicate band hit.  Sorting
+    each group call by (batch_idx, doc_id) makes the verdict invariant to
+    micro-batch coalescing, same re-batching contract as dedup_first_seen.
+    """
+    out_schema = StructType(
+        [
+            StructField("band", LongType()),
+            StructField("sig", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("batch_idx", LongType()),
+            StructField("dup", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", IntegerType())])
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values(
+            ["batch_idx", "doc_id"], kind="mergesort"
+        )
+        dup = [1] * len(rows)
+        if not state.exists:
+            dup[0] = 0
+        state.update((1,))
+        out = rows[["band", "sig", "doc_id", "batch_idx"]].copy()
+        out["dup"] = dup
+        yield out
+
+    return buckets.groupBy("band", "sig").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
