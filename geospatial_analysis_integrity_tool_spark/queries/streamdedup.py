@@ -92,9 +92,11 @@ def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = lsh_first_seen(src)
     # small state-store partition count for the tiny replay (see
-    # q_streaming_first_seen for why)
+    # q_streaming_first_seen for why); 8 rather than 4 because the work per
+    # batch is thousands of per-bucket Python calls — parallelism wins over
+    # commit overhead here
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             out.writeStream.format("memory")

@@ -52,18 +52,26 @@ _SHINGLES = (
 
 
 def winnow_fps(docs: DataFrame) -> DataFrame:
-    """(doc_id, h): the winnowing-selected fingerprint set of each document."""
+    """(doc_id, h): the winnowing-selected fingerprint set of each document.
+
+    The explicit doc_id repartition spreads the md5-heavy shingle projection
+    across the cluster BEFORE it runs (a single-file scan would otherwise
+    execute it on one task) and already satisfies the window's
+    hashpartitioning(doc_id), so no second exchange follows.
+    """
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # NOTE: no column may reference the shingle array alongside the
+    # posexplode select — a sibling expression like size(shs) is re-evaluated
+    # (full split + transform chain) once per GENERATED row, turning the
+    # explode O(len^2) per doc (measured 18 s vs 2 s at sf0.1).  The shingle
+    # count is instead max(pos) over the exploded rows, sharing the window's
+    # doc_id exchange.
     sh = (
-        docs.select("doc_id", F.expr(_TOKS).alias("toks"))
-        .select("doc_id", F.expr(_SHINGLES).alias("shs"))
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.expr(_TOKS).alias("toks"))
+        .select("doc_id", F.posexplode(F.expr(_SHINGLES)).alias("pos0", "shingle"))
         .select(
             "doc_id",
-            F.expr("CAST(size(shs) AS BIGINT)").alias("n_sh"),
-            F.posexplode("shs").alias("pos0", "shingle"),
-        )
-        .select(
-            "doc_id",
-            "n_sh",
             F.expr("CAST(pos0 + 1 AS BIGINT)").alias("pos"),
             F.expr(
                 "CAST(conv(substring(md5(shingle), 1, 4), 16, 10) AS BIGINT)"
@@ -79,8 +87,10 @@ def winnow_fps(docs: DataFrame) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
+    wn = Window.partitionBy("doc_id")
     return (
         sh.withColumn("wkey", F.min("key").over(w))
+        .withColumn("n_sh", F.max("pos").over(wn))
         .filter(F.expr(f"pos <= n_sh - {WINNOW_W - 1}"))
         .select("doc_id", F.expr(f"wkey DIV {_POS_SCALE}").alias("h"))
         .distinct()

@@ -168,13 +168,20 @@ def lsh_first_seen(buckets: DataFrame) -> DataFrame:
         parts = [pdf for pdf in pdfs if len(pdf)]
         if not parts:
             return
+        seen = state.exists
+        state.update((1,))
+        if len(parts) == 1 and len(parts[0]) == 1:
+            # fast path: the overwhelmingly common one-row-per-bucket batch
+            out = parts[0][["band", "sig", "doc_id", "batch_idx"]].copy()
+            out["dup"] = 1 if seen else 0
+            yield out
+            return
         rows = pd.concat(parts).sort_values(
             ["batch_idx", "doc_id"], kind="mergesort"
         )
         dup = [1] * len(rows)
-        if not state.exists:
+        if not seen:
             dup[0] = 0
-        state.update((1,))
         out = rows[["band", "sig", "doc_id", "batch_idx"]].copy()
         out["dup"] = dup
         yield out
