@@ -85,18 +85,28 @@ def _bucket_duck() -> str:
 def q_docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     srcs = ", ".join(f"'{s}'" for s in TARGET_SOURCES)
-    feats = (
+    # ONE corpus token pass: everything downstream (target distribution, raw
+    # distribution, per-doc weights) aggregates from the same per-(doc,
+    # source, bucket) count table, so the explode+hash shuffle is computed
+    # once and reused (ReusedExchange) instead of three times
+    n_part = spark.sparkContext.defaultParallelism
+    bucket_counts = (
         spark.table("documents")
+        # spread the md5-heavy token pass across the cluster regardless of
+        # input file layout (see winnowq.winnow_fps)
+        .repartition(n_part, "doc_id")
         .select("doc_id", "source", F.explode(F.expr(_TOKS)).alias("tok"))
         .select("doc_id", "source", F.expr(_bucket_spark()).alias("b"))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("c"))
     )
     tgt = (
-        feats.filter(f"source IN ({srcs})")
+        bucket_counts.filter(f"source IN ({srcs})")
         .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+        .agg(F.sum("c").alias("ct"))
     )
-    raw = feats.filter(f"source NOT IN ({srcs})")
-    raw_cnt = raw.groupBy("b").agg(F.count("*").alias("cq"))
+    raw = bucket_counts.filter(f"source NOT IN ({srcs})")
+    raw_cnt = raw.groupBy("b").agg(F.sum("c").alias("cq"))
     # per-bucket importance scores: B rows total, broadcast to the corpus
     scores = (
         raw_cnt.join(tgt, "b", "left")
@@ -117,9 +127,7 @@ def q_docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     logw = (
-        raw.groupBy("doc_id", "b")
-        .agg(F.count("*").alias("c"))
-        .join(F.broadcast(scores), "b")
+        raw.join(F.broadcast(scores), "b")
         .groupBy("doc_id")
         .agg(F.sum(F.expr("c * s")).alias("logw_fp"))
         .withColumn(
