@@ -11,12 +11,12 @@ in web corpora.
 
 Parameters here: k = 3 (token shingles, shared with the dedup family),
 W = 4, 16-bit md5-slice hashes.  The rightmost-tie argmin is encoded
-order-theoretically so both engines agree exactly: with pos < 2^20,
+order-theoretically so both engines agree exactly: with pos < 2^32,
 
-    key = h * 2^20 + (2^20 - 1 - pos)
+    key = h * 2^32 + (2^32 - 1 - pos)
 
 makes MIN(key) over the window pick the smallest h and, among equal h, the
-largest pos; the selected hash is key DIV 2^20.  Output per document: the
+largest pos; the selected hash is key DIV 2^32.  Output per document: the
 selected-fingerprint count and how many OTHER documents share at least one
 selected fingerprint.
 
@@ -39,7 +39,10 @@ from pyspark.sql.window import Window
 from ..sources.synthetic import register_testdata_views
 
 WINNOW_W = 4
-_POS_SCALE = 1_048_576  # 2^20 > any per-doc shingle count at the test scales
+#: 2^32 — the rightmost-tie key packs (h, reversed pos) into one BIGINT;
+#: h is 16-bit so h * 2^32 + pos' < 2^48, and no real document approaches
+#: 2^32 shingles, so the packing never inverts
+_POS_SCALE = 4_294_967_296
 
 _TOKS = "filter(split(text, '\\\\s+'), t -> t <> '')"
 _SHINGLES = (
