@@ -110,10 +110,12 @@ def min_label_components(
                     "c"
                 ),
             )
+            # pl feeds only the observed metric; project before checkpoint
+            .select("line_id", F.col("nl").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = obs.get["c"]
-        labels = new_labels.select("line_id", F.col("nl").alias("label"))
+        labels = new_labels
         if not changed:
             return labels.select(
                 F.col("line_id").alias("id"),

@@ -61,9 +61,9 @@ def run_stage_checkpointed(
     manifest["stage"] = stage
     done = set(manifest["partitions"])
 
+    done_vals = [int(v) for v in done]
     remaining = df
     if done:
-        done_vals = [int(v) for v in done]
         remaining = df.filter(~F.col(partition_col).isin(done_vals))
 
     t0 = time.time()
@@ -90,9 +90,7 @@ def run_stage_checkpointed(
             *[F.col(c).cast(df.schema[c].dataType) for c in df.columns]
         )
         if done:
-            back = back.filter(
-                ~F.col(partition_col).isin([int(v) for v in done])
-            )
+            back = back.filter(~F.col(partition_col).isin(done_vals))
         cols = ", ".join(df.columns)
         stats = (
             back.groupBy(partition_col)

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.portable_hash import duck_md5_slice, spark_md5_slice
 from ..sources.synthetic import register_testdata_views
 
 #: hashed-ngram feature buckets (the paper uses 10^4; 256 keeps every bucket
@@ -67,19 +68,11 @@ def _log2fp_duck(n: str) -> str:
 
 
 def _bucket_spark() -> str:
-    return (
-        f"CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % {N_BUCKETS}"
-    )
+    return f"{spark_md5_slice('tok')} % {N_BUCKETS}"
 
 
 def _bucket_duck() -> str:
-    digit = (
-        lambda p: f"(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
-    )
-    return (
-        f"({digit(1)} * 4096 + {digit(2)} * 256 + {digit(3)} * 16 + {digit(4)})"
-        f" % {N_BUCKETS}"
-    )
+    return f"{duck_md5_slice('tok')} % {N_BUCKETS}"
 
 
 def q_docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:

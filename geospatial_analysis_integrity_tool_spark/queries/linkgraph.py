@@ -212,10 +212,13 @@ def pagerank_converged(
         nxt = (
             iterate(ranks)
             .observe(obs, F.max(F.expr("abs(r - r_prev)")).alias("d"))
+            # r_prev feeds only the observed metric; project it away BEFORE
+            # the checkpoint so cached rounds store just (url, r)
+            .select("url", "r")
             .localCheckpoint(eager=True)
         )
         delta = obs.get["d"]
-        ranks = nxt.select("url", "r")
+        ranks = nxt
         if delta is not None and delta <= tol_ppm:
             return ranks, it, True
     return ranks, max_iters, False

@@ -34,6 +34,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.portable_hash import duck_md5_slice
+
 N_BATCHES = 5
 #: 1-based hex offsets of the 4 disjoint 16-bit md5 slices (one per band)
 BAND_OFFS = (1, 5, 9, 13)
@@ -45,6 +47,7 @@ def write_lsh_stream_fixture(sf_dir: str) -> str:
     """Per-batch parquet of (doc_id, batch_idx, band, sig) from documents."""
     import hashlib
     import re
+    import time
 
     import pandas as pd
 
@@ -54,7 +57,13 @@ def write_lsh_stream_fixture(sf_dir: str) -> str:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     n = int(docs["doc_id"].max()) + 1
-    dirpath = fixture_dir(f"stream_lsh_{n}")
+    # cache key includes a content digest: this fixture is DERIVED from the
+    # documents table, so a regenerated corpus with the same cardinality must
+    # not serve stale signatures
+    digest = hashlib.md5(
+        f"{n}|{docs['text'].str.len().sum()}|{docs['text'].iloc[0]}".encode()
+    ).hexdigest()[:8]
+    dirpath = fixture_dir(f"stream_lsh_{n}_{digest}")
     if os.path.exists(os.path.join(dirpath, "_done")):
         return dirpath
     rows = []
@@ -72,8 +81,14 @@ def write_lsh_stream_fixture(sf_dir: str) -> str:
             sig = min(int(h[off - 1 : off + 3], 16) for h in hexes)
             rows.append((int(doc_id), int(doc_id) * N_BATCHES // n, band, sig))
     df = pd.DataFrame(rows, columns=["doc_id", "batch_idx", "band", "sig"])
+    t0 = int(time.time()) - 3600
     for b, grp in df.groupby("batch_idx"):
-        grp.to_parquet(os.path.join(dirpath, f"b{int(b):03d}.parquet"))
+        p = os.path.join(dirpath, f"b{int(b):03d}.parquet")
+        grp.to_parquet(p)
+        # FileStreamSource orders pending files by modification time; pin
+        # strictly increasing mtimes so batch order never depends on
+        # filesystem timestamp granularity
+        os.utime(p, (t0 + int(b) * 10, t0 + int(b) * 10))
     open(os.path.join(dirpath, "_done"), "w").write("ok")
     return dirpath
 
@@ -107,7 +122,12 @@ def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming_lsh_dedup replay did not finish within 300 s — "
+            "refusing to aggregate a partially-populated sink"
+        )
     return (
         spark.table("lsh_dedup_sink")
         .groupBy("doc_id", "batch_idx")
@@ -119,13 +139,7 @@ def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_slice(off: int) -> str:
-    digit = (
-        lambda p: f"(strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 1)"
-    )
-    return (
-        f"({digit(off)} * 4096 + {digit(off + 1)} * 256"
-        f" + {digit(off + 2)} * 16 + {digit(off + 3)})"
-    )
+    return duck_md5_slice("shingle", off)
 
 
 ORACLE_STREAMING_LSH = rf"""

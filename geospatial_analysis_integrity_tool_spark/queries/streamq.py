@@ -86,7 +86,12 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming replay did not finish within 300 s — refusing to "
+            "read a partially-populated sink"
+        )
     return spark.table("first_seen_replay_sink").select(
         "cond_key", "batch_idx", "payload"
     )
@@ -216,7 +221,12 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming replay did not finish within 300 s — refusing to "
+            "read a partially-populated sink"
+        )
     return spark.table("windowed_replay_sink").filter("key >= 0")
 
 
@@ -320,7 +330,12 @@ def q_streaming_url_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming replay did not finish within 300 s — refusing to "
+            "read a partially-populated sink"
+        )
     return spark.table("url_consolidate_sink").select(
         "cap_key", "upto_batch", "n_so_far", "latest_ts", "latest_payload"
     )
@@ -402,7 +417,12 @@ def q_streaming_extract_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     q = stream_extract_to_parquet(stream, out, cp)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming replay did not finish within 300 s — refusing to "
+            "read a partially-populated sink"
+        )
     feats = spark.read.parquet(out)
     return feats.groupBy("fcode").agg(
         F.count("*").alias("n_feats"),
@@ -505,7 +525,12 @@ def q_streaming_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming replay did not finish within 300 s — refusing to "
+            "read a partially-populated sink"
+        )
     return spark.table("streaming_pip_sink").select("point_id", "zone_id")
 
 
@@ -642,7 +667,12 @@ def q_streaming_utm_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming replay did not finish within 300 s — refusing to "
+            "read a partially-populated sink"
+        )
     return spark.table("streaming_utm_pip_sink").select("point_id", "zone_id")
 
 

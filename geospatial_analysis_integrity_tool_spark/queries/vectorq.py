@@ -281,22 +281,42 @@ def kmeans_converged(
         )
         .localCheckpoint(eager=True)
     )
-    dims = len(wide.select("q").first()["q"])
+    first = wide.select("q").first()
+    if first is None:  # empty corpus: trivially converged, nothing to assign
+        empty = wide.select(
+            "vec_id",
+            F.expr("CAST(0 AS BIGINT)").alias("k"),
+            F.expr("CAST(0 AS BIGINT)").alias("dist"),
+        )
+        return empty, 1, True
+    dims = len(first["q"])
 
-    def assign_cols(cen: list[tuple[int, list[int]]]):
-        """(k, dist) columns for the argmin against literal centroids."""
+    def assign(df: DataFrame, cen: list[tuple[int, list[int]]], *extra):
+        """Project (vec_id, q, k, dist, *extra): argmin vs literal centroids.
+
+        The K-distance array binds ONCE as an intermediate column; the
+        argmin/min expressions reference the bound column, so the K*dims
+        literal tree appears a single time in the plan (CollapseProject
+        declines to duplicate non-cheap aliases).
+        """
         dist_exprs = [
             "aggregate(zip_with(q, array("
             + ", ".join(f"{c}L" for c in cv)
             + "), (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
             for _, cv in cen
         ]
-        dists = f"array({', '.join(dist_exprs)})"
         ks = f"array({', '.join(f'{k}L' for k, _ in cen)})"
-        pos = f"CAST(array_position({dists}, array_min({dists})) AS INT)"
-        return (
-            F.expr(f"element_at({ks}, {pos})").alias("k"),
-            F.expr(f"array_min({dists})").alias("dist"),
+        return df.withColumn(
+            "dists", F.expr(f"array({', '.join(dist_exprs)})")
+        ).select(
+            "vec_id",
+            "q",
+            F.expr(
+                f"element_at({ks},"
+                " CAST(array_position(dists, array_min(dists)) AS INT))"
+            ).alias("k"),
+            F.expr("array_min(dists)").alias("dist"),
+            *extra,
         )
 
     def collect_centroids(a: DataFrame) -> list[tuple[int, list[int]]]:
@@ -315,18 +335,18 @@ def kmeans_converged(
         (r["vec_id"], list(r["q"]))
         for r in wide.filter(F.col("vec_id") < K_CLUSTERS).collect()
     )
-    k_col, dist_col = assign_cols(cen0)
-    a_prev = wide.select("vec_id", "q", k_col, dist_col).localCheckpoint(
-        eager=True
-    )
+    a_prev = assign(wide, cen0).localCheckpoint(eager=True)
     for it in range(2, max_iters + 1):
-        k_col, dist_col = assign_cols(collect_centroids(a_prev))
         # the switch count rides the checkpoint job as an observed metric —
-        # no separate count job per round
+        # no separate count job per round; k_prev flows through the metric
+        # but is projected away BEFORE the checkpoint, so the cached rounds
+        # never store convergence-only columns
         obs = Observation(f"kmeans_r{it}")
         a = (
-            a_prev.select(
-                "vec_id", "q", k_col, dist_col, F.col("k").alias("k_prev")
+            assign(
+                a_prev,
+                collect_centroids(a_prev),
+                F.col("k").alias("k_prev"),
             )
             .observe(
                 obs,
@@ -334,10 +354,11 @@ def kmeans_converged(
                     F.expr("CASE WHEN k <> k_prev THEN 1 ELSE 0 END")
                 ).alias("changed"),
             )
+            .select("vec_id", "q", "k", "dist")
             .localCheckpoint(eager=True)
         )
         changed = obs.get["changed"]
-        a_prev = a.select("vec_id", "q", "k", "dist")
+        a_prev = a
         if not changed:
             return a_prev.select("vec_id", "k", "dist"), it, True
     return a_prev.select("vec_id", "k", "dist"), max_iters, False

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.portable_hash import duck_md5_slice, spark_md5_slice
 from ..sources.synthetic import register_testdata_views
 
 WINNOW_W = 4
@@ -76,9 +77,7 @@ def winnow_fps(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.expr("CAST(pos0 + 1 AS BIGINT)").alias("pos"),
-            F.expr(
-                "CAST(conv(substring(md5(shingle), 1, 4), 16, 10) AS BIGINT)"
-            ).alias("h"),
+            F.expr(spark_md5_slice("shingle")).alias("h"),
         )
         .withColumn(
             "key",
@@ -123,12 +122,7 @@ def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_H = (
-    "((strpos('0123456789abcdef', substr(md5(shingle), 1, 1)) - 1) * 4096"
-    " + (strpos('0123456789abcdef', substr(md5(shingle), 2, 1)) - 1) * 256"
-    " + (strpos('0123456789abcdef', substr(md5(shingle), 3, 1)) - 1) * 16"
-    " + (strpos('0123456789abcdef', substr(md5(shingle), 4, 1)) - 1))"
-)
+_DUCK_H = duck_md5_slice("shingle")
 
 ORACLE_WINNOW = rf"""
 WITH docs_t AS (

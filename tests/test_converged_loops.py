@@ -57,3 +57,19 @@ def test_kmeans_exits_by_stable_assignment(spark):
     assert iters < 100
     # all clusters alive at the fixture's stable assignment
     assert a.select("k").distinct().count() == K_CLUSTERS
+
+
+def test_kmeans_empty_corpus_converges_trivially(spark):
+    """Zero embeddings: the loop returns an empty converged assignment
+    instead of crashing on the dims probe."""
+    from geospatial_analysis_integrity_tool_spark.queries.vectorq import (
+        kmeans_converged,
+    )
+
+    spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    ).createOrReplaceTempView("embeddings")
+    a, iters, converged = kmeans_converged(spark)
+    assert converged
+    assert a.count() == 0
+    assert set(a.columns) == {"vec_id", "k", "dist"}

@@ -8,7 +8,6 @@ def test_streaming_lsh_matches_batch_rule_and_replays_identically(spark):
     (dup iff a (batch_idx, doc_id)-earlier row occupies the same (band, sig)
     bucket) computed over the very same fixture, and a full restart-replay
     must emit the identical table."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from geospatial_analysis_integrity_tool_spark.queries.streamdedup import (
@@ -21,7 +20,6 @@ def test_streaming_lsh_matches_batch_rule_and_replays_identically(spark):
     rows = {r["doc_id"]: (r["n_dup_bands"], r["is_dup"]) for r in out.collect()}
 
     fixture = spark.read.parquet(write_lsh_stream_fixture(sf))
-    w = Window.partitionBy("band", "sig")
     batch = (
         fixture.withColumn(
             "dup",
