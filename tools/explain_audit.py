@@ -403,6 +403,20 @@ AUDIT = {
         "note": "bigram LM: vocabulary-bounded count tables broadcast; one "
         "doc_id shuffle for the LEAD window",
     },
+    "docs_winnow_fingerprints": {
+        "want": ["Window"],
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+        "note": "winnowing selection is one bounded window over the doc_id "
+        "exchange; the explicit repartition also feeds it (no second "
+        "exchange before the window)",
+    },
+    "streaming_lsh_dedup": {
+        "want": ["HashAggregate"],
+        "forbid": ["BatchEvalPython"],
+        "note": "returned plan aggregates the memory sink; the stateful "
+        "applyInPandasWithState stage runs inside the stream (audited by "
+        "the gate + equivalence test, not visible in this batch plan)",
+    },
 }
 
 
