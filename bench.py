@@ -134,6 +134,7 @@ HEADLINE = [
     "docs_lm_perplexity",
     "docs_winnow_fingerprints",
     "streaming_lsh_dedup",
+    "tokenizer_bpe_merge_step",
 ]
 
 # spatial checks whose input cardinality defines "features" for features/sec

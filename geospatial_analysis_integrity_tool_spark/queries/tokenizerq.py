@@ -156,12 +156,105 @@ GROUP BY 1
 """
 
 
+def q_tokenizer_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the top BPE merge corpus-wide (stage b), greedy leftmost.
+
+    The argmax pair from stage (a) is merged into every DISTINCT word:
+    non-overlapping occurrences taken left to right (for a pair 'aa' the
+    word 'aaaa' merges twice, 'aaa' once — the Sennrich et al. scan rule).
+    Greedy counting is gaps-and-islands arithmetic: within each maximal run
+    of L consecutive matching positions, merges = (L + 1) DIV 2 (runs are
+    length 1 unless the pair is a doubled character).  Output: one row per
+    affected word with its corpus frequency and symbol counts — bounded by
+    vocabulary size, like everything downstream of the word table.
+    """
+    from pyspark.sql.window import Window
+
+    register_testdata_views(spark, sf_dir)
+    wf = _word_freq(spark)
+    pairs = wf.select(
+        "w",
+        "freq",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("i0", "p"),
+    ).filter(F.length("p") == 2)
+    top = (
+        pairs.groupBy("p")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("p"))
+        .limit(1)
+        .select(F.col("p").alias("tp"))
+    )
+    m = (
+        pairs.crossJoin(F.broadcast(top))
+        .filter("p = tp")
+        .select("w", "freq", "tp", F.expr("CAST(i0 + 1 AS BIGINT)").alias("pos"))
+    )
+    w_run = Window.partitionBy("w").orderBy("pos")
+    merged = (
+        m.withColumn("run", F.expr("pos") - F.row_number().over(w_run))
+        .groupBy("w", "freq", "tp", "run")
+        .agg(F.count("*").alias("L"))
+        .groupBy("w", "freq", "tp")
+        .agg(F.sum(F.expr("(L + 1) DIV 2")).alias("n_merges"))
+    )
+    return merged.select(
+        "w",
+        "freq",
+        F.col("tp").alias("pair"),
+        "n_merges",
+        F.expr("CAST(length(w) AS BIGINT)").alias("len_before"),
+        F.expr("CAST(length(w) AS BIGINT) - n_merges").alias("len_after"),
+    )
+
+
+ORACLE_BPE_MERGE_STEP = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents
+),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks WHERE w <> '' GROUP BY 1),
+pairs AS (
+  SELECT w, freq, CAST(i AS BIGINT) AS pos, substring(w, CAST(i AS INT), 2) AS p
+  FROM wf, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  WHERE len(w) >= 2
+),
+top AS (
+  SELECT p AS tp FROM (
+    SELECT p, SUM(freq) AS cnt FROM pairs GROUP BY 1
+    ORDER BY cnt DESC, p ASC LIMIT 1
+  )
+),
+m AS (SELECT w, freq, tp, pos FROM pairs JOIN top ON p = tp),
+runs AS (
+  SELECT w, freq, tp,
+         pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS run
+  FROM m
+),
+merged AS (
+  SELECT w, freq, tp, CAST(SUM((L + 1) // 2) AS BIGINT) AS n_merges
+  FROM (SELECT w, freq, tp, run, CAST(COUNT(*) AS BIGINT) AS L
+        FROM runs GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2, 3
+)
+SELECT w, freq, tp AS pair, n_merges,
+       CAST(len(w) AS BIGINT) AS len_before,
+       CAST(len(w) AS BIGINT) - n_merges AS len_after
+FROM merged
+"""
+
+
 QUERIES = {
+    "tokenizer_bpe_merge_step": q_tokenizer_bpe_merge_step,
     "tokenizer_pair_stats": q_tokenizer_pair_stats,
     "vocab_oov_rate": q_vocab_oov_rate,
 }
 
 ORACLES = {
+    "tokenizer_bpe_merge_step": ORACLE_BPE_MERGE_STEP,
     "tokenizer_pair_stats": ORACLE_TOKENIZER_PAIR_STATS,
     "vocab_oov_rate": ORACLE_VOCAB_OOV,
 }
